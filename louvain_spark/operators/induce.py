@@ -1,0 +1,192 @@
+"""Transcripts → entity membership → co-occurrence edge induction.
+
+The load-bearing construction (SURVEY.md §1.2, §2.3 J1): vertices are
+conv/tool/role entities; two entities that co-occur within the same
+conversation (optionally within a bounded turn window) get an undirected
+edge weighted by the number of DISTINCT conversations in which they
+co-occur — the transposition of the reference's common-neighbor count
+(/root/reference/tool/Neo4jLouvainProcessor.py:183-210: pairs of What
+nodes weighted by COUNT(DISTINCT common entity)).
+
+Scale notes (10^12-turn design):
+- the pair join is keyed on conv_id; a single huge conversation is the
+  skew risk. The turn-window cap bounds per-turn fan-out to O(window),
+  and the banded join (bucket = turn_idx // window) keeps each join
+  group at O(window) rows instead of O(conversation length).
+- distinct-conv weighting is computed as select(src,dst,conv).distinct()
+  → count, so the wide shuffle key includes conv_id (no hot key), and the
+  final groupBy(src,dst) count enjoys map-side partial aggregation.
+- vertex ids: dense sorted rank — deterministic across runs/cluster
+  sizes (monotonically_increasing_id is partition-dependent and would
+  break parity). The global sort is over the *entity dictionary* (tiny
+  relative to the corpus: |tools|+|roles|+|convs|), not the turn table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def membership(
+    transcripts: DataFrame,
+    include_conv: bool = True,
+    include_role: bool = True,
+    include_tool: bool = True,
+) -> DataFrame:
+    """Explode transcripts into (conv_id, turn_idx, entity, etype) rows.
+
+    The analog of the reference's What→entity edges
+    (/root/reference/tool/upload.py:118-163), done with explode over a
+    struct array — pure Catalyst, no Python.
+    """
+    if not (include_conv or include_role or include_tool):
+        raise ValueError("at least one entity family must be included")
+    parts = []
+    if include_tool:
+        parts.append(
+            F.when(
+                F.col("tool").isNotNull(),
+                F.struct(
+                    F.concat(F.lit("tool:"), F.col("tool")).alias("entity"),
+                    F.lit("tool").alias("etype"),
+                ),
+            )
+        )
+    if include_role:
+        parts.append(
+            F.struct(
+                F.concat(F.lit("role:"), F.col("role")).alias("entity"),
+                F.lit("role").alias("etype"),
+            )
+        )
+    if include_conv:
+        parts.append(
+            F.struct(
+                F.concat(F.lit("conv:"), F.col("conv_id")).alias("entity"),
+                F.lit("conv").alias("etype"),
+            )
+        )
+    ent = F.explode(F.array(*parts)).alias("e")
+    out = transcripts.select("conv_id", "turn_idx", ent)
+    return out.where(F.col("e").isNotNull()).select(
+        "conv_id", "turn_idx", F.col("e.entity").alias("entity"), F.col("e.etype").alias("etype")
+    )
+
+
+def entity_vertices(mem: DataFrame) -> DataFrame:
+    """Distinct entities with stable dense ids (sorted-name rank, 0-based).
+
+    Deterministic and cluster-size-independent; the sort runs over the
+    entity dictionary only. At truly extreme dictionary sizes swap in a
+    two-phase range-partitioned rank — semantics identical.
+    """
+    ents = mem.select("entity", "etype").distinct()
+    w = Window.orderBy("entity")
+    return ents.select(
+        (F.row_number().over(w) - 1).cast("long").alias("id"),
+        F.col("entity").alias("name"),
+        F.col("etype").alias("vtype"),
+    )
+
+
+def _with_ids(mem: DataFrame, vertices: DataFrame) -> DataFrame:
+    """Attach vertex ids to membership rows (broadcast dictionary join)."""
+    dict_df = F.broadcast(vertices.select(F.col("name").alias("entity"), "id", F.col("vtype")))
+    return mem.join(dict_df, "entity")
+
+
+def cooccurrence_edges(
+    transcripts: DataFrame,
+    vertices: DataFrame | None = None,
+    window: int | None = None,
+    include_conv: bool = True,
+    include_role: bool = True,
+    include_tool: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Induce the canonical undirected co-occurrence edge table.
+
+    Returns (vertices, edges) where edges = (src:long < dst:long,
+    weight:double = COUNT(DISTINCT conv_id), etypes:array<string>).
+
+    window=None → co-occurrence anywhere within the conversation;
+    window=w → only entity occurrences within |Δturn_idx| <= w pair up
+    (banded join: each side bucketed by turn_idx // w, right side
+    replicated to adjacent buckets — bounds join-group size for huge
+    conversations).
+    """
+    mem = membership(transcripts, include_conv, include_role, include_tool)
+    if vertices is None:
+        vertices = entity_vertices(mem)
+    m = _with_ids(mem, vertices).select("conv_id", "turn_idx", "id", "vtype")
+
+    if window is None:
+        a = m.alias("a")
+        b = m.alias("b")
+        pairs = a.join(b, on="conv_id").where(F.col("a.id") < F.col("b.id"))
+    else:
+        band = max(int(window), 1)  # window=0 → same-turn only; band by turn
+        a = m.withColumn("_b", (F.col("turn_idx") / band).cast("long")).alias("a")
+        b = (
+            m.withColumn(
+                "_b", F.explode(F.array(*[
+                    ((F.col("turn_idx") / band).cast("long") + d) for d in (-1, 0, 1)
+                ]))
+            )
+        ).alias("b")
+        pairs = (
+            a.join(b, on=[a["conv_id"] == b["conv_id"], a["_b"] == b["_b"]])
+            .where(F.col("a.id") < F.col("b.id"))
+            .where(F.abs(F.col("a.turn_idx") - F.col("b.turn_idx")) <= window)
+        )
+
+    proj = pairs.select(
+        F.col("a.id").alias("src"),
+        F.col("b.id").alias("dst"),
+        F.col("a.conv_id").alias("conv_id"),
+        F.col("a.vtype").alias("st"),
+        F.col("b.vtype").alias("dt"),
+    )
+    # distinct on (src,dst,conv) carries conv_id in the shuffle key → no hot
+    # key; the final count has map-side combine. etypes = sorted distinct
+    # endpoint types, as the reference collects rel types
+    # (/root/reference/tool/Neo4jLouvainProcessor.py:202-203).
+    per_conv = proj.groupBy("src", "dst", "conv_id").agg(
+        F.collect_set("st").alias("sts"), F.collect_set("dt").alias("dts")
+    )
+    edges = per_conv.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("double").alias("weight"),
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list(F.concat("sts", "dts"))))
+        ).alias("etypes"),
+    )
+    return vertices, edges
+
+
+def turn_adjacency_edges(transcripts: DataFrame, vertices: DataFrame) -> DataFrame:
+    """Consecutive-turn tool-transition edges via lag window (SURVEY §2.5).
+
+    For each conversation ordered by turn_idx, link the tools of
+    consecutive tool-bearing turns; weight = distinct conversations.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = transcripts.where(F.col("tool").isNotNull()).select(
+        "conv_id",
+        "turn_idx",
+        F.concat(F.lit("tool:"), F.col("tool")).alias("entity"),
+    )
+    t = t.withColumn("prev", F.lag("entity").over(w)).where(
+        F.col("prev").isNotNull() & (F.col("prev") != F.col("entity"))
+    )
+    dict_df = F.broadcast(vertices.select(F.col("name").alias("entity"), F.col("id").alias("_dst")))
+    dict_p = F.broadcast(vertices.select(F.col("name").alias("prev"), F.col("id").alias("_src")))
+    pairs = t.join(dict_df, "entity").join(dict_p, "prev").select(
+        F.least("_src", "_dst").alias("src"),
+        F.greatest("_src", "_dst").alias("dst"),
+        "conv_id",
+    )
+    return (
+        pairs.distinct()
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )

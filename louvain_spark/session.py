@@ -1,0 +1,47 @@
+"""SparkSession factory with engine-tuned defaults.
+
+Defaults chosen for the sandbox (single-JVM local[N]); on a real cluster
+the same config keys apply, scaled to executor count. AQE is on so skewed
+joins are split at runtime; explicit salting (plans/skew.py) covers skewed
+*aggregations*, which AQE does not split.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF = {
+    # shuffle sizing: ~1 partition per core at sandbox scale; a cluster run
+    # would set this to 2-3x total cores (or rely on AQE coalescing).
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for all pandas UDF / applyInPandas exchange.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # broadcast small dims aggressively (community aggregate tables are tiny)
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.ui.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def get_spark(
+    app_name: str = "louvain_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults applied."""
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[4]")
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,108 @@
+"""Deterministic synthetic transcripts generator (FIXTURES.md §1).
+
+Seeded, no wall-clock, vectorized numpy — the engine's test/bench input
+since BASELINE.json mandates a transcripts-shaped table and no external
+data exists in the sandbox. Zipf tool popularity forces the skew path
+(a few hub tools dominate, like the reference corpus' hub entities).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from louvain_spark.schema import TRANSCRIPTS
+
+_WORDS = np.array(
+    [
+        "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+        "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+        "oscar", "papa", "quebec", "romeo", "sierra", "tango", "uniform",
+        "victor", "whiskey", "xray", "yankee", "zulu",
+    ]
+)
+
+_BASE_TS = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+
+PRESETS = {
+    "tiny": dict(n_conv=20, seed=42),
+    "small": dict(n_conv=2000, seed=42),
+    "bench": dict(n_conv=50000, seed=42),
+}
+
+
+def transcripts_pandas(
+    n_conv: int = 200,
+    seed: int = 42,
+    mean_len: int = 12,
+    max_len: int = 64,
+    n_tools: int = 200,
+    tool_prob: float = 0.35,
+    zipf_s: float = 1.2,
+) -> pd.DataFrame:
+    """Generate the transcripts table as pandas (deterministic in seed)."""
+    rng = np.random.RandomState(seed)
+    lengths = np.clip(rng.geometric(1.0 / mean_len, size=n_conv), 2, max_len)
+    total = int(lengths.sum())
+
+    conv_idx = np.repeat(np.arange(n_conv), lengths)
+    conv_id = np.char.add("c", np.char.zfill(conv_idx.astype(str), 6))
+    # contiguous 0..len-1 per conversation (stable ordering key)
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    turn_idx = (np.arange(total) - np.repeat(starts, lengths)).astype(np.int32)
+
+    # roles: turn 0 is 'system' w.p. 0.2 (per conversation), else
+    # alternate user/assistant starting with user.
+    sys_first = rng.rand(n_conv) < 0.2
+    offset = np.repeat(sys_first.astype(np.int32), lengths)
+    role = np.where(
+        (turn_idx == 0) & np.repeat(sys_first, lengths),
+        "system",
+        np.where((turn_idx - offset) % 2 == 0, "user", "assistant"),
+    )
+
+    # tools: only on assistant turns, w.p. tool_prob, Zipf-ranked ids so a
+    # handful of hub tools dominate (skew/salting exercise).
+    zipf_rank = (rng.zipf(zipf_s, size=total) - 1) % n_tools
+    has_tool = (role == "assistant") & (rng.rand(total) < tool_prob)
+    tool = np.where(
+        has_tool, np.char.add("t", np.char.zfill(zipf_rank.astype(str), 3)), None
+    )
+
+    # text: deterministic per-turn prefix + seeded token soup; must
+    # round-trip byte-equal under (conv_id, turn_idx) ordering.
+    soup = _WORDS[rng.randint(0, len(_WORDS), size=(total, 4))]
+    text = np.array(
+        [
+            f"turn {c}:{t} " + " ".join(s)
+            for c, t, s in zip(conv_id, turn_idx, soup)
+        ]
+    )
+
+    ts = (
+        np.datetime64(_BASE_TS.replace(tzinfo=None))
+        + np.repeat(conv_idx, 1) * np.timedelta64(300, "s")
+        + turn_idx * np.timedelta64(7, "s")
+    )
+
+    return pd.DataFrame(
+        {
+            "conv_id": conv_id,
+            "turn_idx": turn_idx,
+            "role": role,
+            "text": text,
+            "tool": tool,
+            "ts": pd.to_datetime(ts),
+        }
+    )
+
+
+def transcripts_df(spark: SparkSession, preset: str = "tiny", **overrides) -> DataFrame:
+    """Generate transcripts as a Spark DataFrame with the pinned schema."""
+    params = dict(PRESETS.get(preset, {}))
+    params.update(overrides)
+    pdf = transcripts_pandas(**params)
+    return spark.createDataFrame(pdf, schema=TRANSCRIPTS)
