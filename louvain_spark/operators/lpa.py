@@ -1,0 +1,65 @@
+"""Synchronous weighted label propagation (SURVEY.md §2.8).
+
+Superstep: neighbor-label histogram groupBy(node, label).sum(w) → argmax
+with deterministic tie-break (max weight, then MIN label) via one window;
+all nodes update simultaneously; stop at fixpoint or max_iter (synchronous
+LPA can 2-cycle on bipartite-ish structures — max_iter bounds it, and the
+moved-count is recorded per superstep in the ledger).
+Oracle: seeded synchronous numpy/dict reimplementation with the same
+tie-break (tests/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from louvain_spark.operators.graph import symmetrize, vertex_ids
+from louvain_spark.plans.loop import StepResult, SuperstepRunner
+
+
+def label_propagation(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    weight_col: str | None = "weight",
+    max_iter: int = 20,
+    runner: SuperstepRunner | None = None,
+) -> DataFrame:
+    """assignments(id, community) — community = converged label (init: own id)."""
+    if runner is None:
+        runner = SuperstepRunner(spark, "adhoc", "lpa")
+
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    adj = symmetrize(edges.select("src", "dst", w.cast("double").alias("w")), "w").persist()
+    adj.count()
+    ids = vertex_ids(edges, vertices)
+
+    labels = ids.select("id", F.col("id").alias("community"))
+    labels = runner.advance(StepResult(labels))
+
+    for _ in range(max_iter):
+        hist = (
+            adj.join(
+                labels.select(F.col("id").alias("dst"), F.col("community").alias("nbr_label")),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"), F.col("nbr_label"))
+            .agg(F.sum("w").alias("s"))
+        )
+        win = Window.partitionBy("id").orderBy(F.col("s").desc(), F.col("nbr_label").asc())
+        best = (
+            hist.withColumn("_rn", F.row_number().over(win))
+            .where(F.col("_rn") == 1)
+            .select("id", F.col("nbr_label").alias("new_label"))
+        )
+        new_labels = ids.join(best, "id", "left").join(labels, "id").select(
+            "id", F.coalesce("new_label", "community").alias("community"),
+            (F.coalesce("new_label", "community") != F.col("community")).alias("_moved"),
+        )
+        moved = new_labels.where("_moved").count()
+        labels = runner.advance(StepResult(new_labels.select("id", "community"), moved=moved))
+        if moved == 0:
+            break
+    adj.unpersist()
+    return labels

@@ -25,6 +25,7 @@ DEFAULT_CONF = {
     # broadcast small dims aggressively (community aggregate tables are tiny)
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
     "spark.sql.session.timeZone": "UTC",
 }
 
