@@ -1,0 +1,454 @@
+"""Louvain community detection — the engine's centerpiece (SURVEY.md §2.8, §7).
+
+Reference semantics: python-louvain best_partition with resolution=3.0,
+random_state=42 (/root/reference/tool/Neo4jLouvainProcessor.py:22,285),
+including the shipped weight-attribute mismatch — best_partition is called
+with weight='final_weight' while edges store 'weight', so the reference
+actually clusters the UNWEIGHTED graph (SURVEY.md §2.8). The engine exposes
+weight_col: None reproduces that unweighted behavior; weight_col='weight'
+is the genuinely weighted mode of the older path
+(/root/reference/trach/Neo4jLouvainProcessor_old.py:184-198).
+
+Two local-move modes:
+
+- mode='exact': the level graph's local-move phase runs as one
+  applyInPandas block executing the deterministic CSR kernel
+  (_louvain_kernel.py) — bit-for-bit the sequential oracle's visit order,
+  so partitions match exactly, not just modularity. Coarsening between
+  levels is fully distributed. Since coarsened graphs shrink
+  geometrically, at 100TB scale you run level 0 in parallel mode and
+  switch to exact once the level graph fits one block.
+
+- mode='parallel': synchronous partition-parallel local moves expressed as
+  DataFrame joins/aggregations: per sweep, each active node evaluates the
+  python-louvain gain against broadcast community aggregates (Σ_tot) and
+  moves to the argmax community (tie-break min community id). Nodes are
+  2-colored by hash and alternate sweeps to break move symmetry; sweeps
+  stop when a full color cycle moves nothing. Validated on modularity
+  (allclose vs oracle on order-invariant graphs) rather than exact
+  partition, which is order-dependent by nature.
+
+Level loop (both modes): renumber communities by first appearance over
+ascending node order → coarsen groupBy(min(c_src,c_dst), max(...)).sum(w)
+with self-loops kept → repeat while level modularity gain ≥ 1e-7.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+_DBG = bool(os.environ.get("LOUVAIN_DEBUG"))
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from louvain_spark.operators._louvain_kernel import MIN_GAIN, one_level_csr
+from louvain_spark.operators.graph import vertex_ids
+from louvain_spark.plans.loop import StepResult, SuperstepRunner
+
+
+def _stats_reset(spark: SparkSession, df: DataFrame, base_dir: str, tag: str) -> DataFrame:
+    """Parquet write-read roundtrip to reset Catalyst size estimates.
+
+    localCheckpoint preserves the origin plan's estimated sizeInBytes, and
+    SizeInBytesOnlyStats estimates joins as the PRODUCT of child sizes —
+    a frame fed back through k joins per iteration grows its BigInt
+    estimate ~k× per sweep until the optimizer spends minutes multiplying
+    million-digit integers (observed: InjectRuntimeFilter →
+    BigInteger.multiplyToomCook3 pegging one core). Reading back from
+    parquet replaces the estimate with the real file size. This doubles as
+    the durable per-sweep checkpoint the north_rule asks for.
+    """
+    path = os.path.join(base_dir, tag)
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def _normalize(edges: DataFrame, weight_col: str | None) -> DataFrame:
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    e = edges.select(
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+        w.alias("w"),
+    )
+    return e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+
+
+def _renumber(assign: DataFrame) -> DataFrame:
+    """(id, community) → (id, community 0..k-1), first-appearance order over
+    ascending ids ≡ communities ranked by their min member id."""
+    reps = assign.groupBy("community").agg(F.min("id").alias("_rep"))
+    win = Window.orderBy("_rep")
+    remap = reps.select(
+        "community", (F.row_number().over(win) - 1).cast("long").alias("_new")
+    )
+    return assign.join(F.broadcast(remap), "community").select(
+        "id", F.col("_new").alias("community")
+    )
+
+
+def _coarsen(edges: DataFrame, assign: DataFrame) -> DataFrame:
+    a_src = assign.select(F.col("id").alias("src"), F.col("community").alias("cs"))
+    a_dst = assign.select(F.col("id").alias("dst"), F.col("community").alias("cd"))
+    return (
+        edges.join(a_src, "src")
+        .join(a_dst, "dst")
+        .select(
+            F.least("cs", "cd").alias("src"),
+            F.greatest("cs", "cd").alias("dst"),
+            "w",
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact mode: one applyInPandas block per level
+# ---------------------------------------------------------------------------
+
+def _one_level_exact(
+    spark: SparkSession,
+    edges: DataFrame,
+    ids: DataFrame,
+    resolution: float,
+    seed: int,
+    level: int,
+) -> tuple[DataFrame, float]:
+    # feed isolated vertices as zero-weight self-loops so the kernel sees them
+    padded = edges.unionByName(
+        ids.select(F.col("id").alias("src"), F.col("id").alias("dst"), F.lit(0.0).alias("w"))
+    ).withColumn("_g", F.lit(0))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        src = pdf["src"].to_numpy()
+        dst = pdf["dst"].to_numpy()
+        w = pdf["w"].to_numpy()
+        node_ids = np.unique(np.concatenate([src, dst]))
+        com, mod = one_level_csr(node_ids, src, dst, w, resolution, seed, level)
+        return pd.DataFrame(
+            {"id": node_ids, "community": com, "_mod": np.full(len(node_ids), mod)}
+        )
+
+    out = (
+        padded.groupBy("_g")
+        .applyInPandas(kernel, "id long, community long, _mod double")
+        .persist()
+    )
+    mod = out.select("_mod").first()[0]
+    assign = out.select("id", "community")
+    return assign, float(mod)
+
+
+# ---------------------------------------------------------------------------
+# parallel mode: synchronous DataFrame sweeps
+# ---------------------------------------------------------------------------
+
+def _one_level_parallel(
+    spark: SparkSession,
+    edges: DataFrame,
+    ids: DataFrame,
+    resolution: float,
+    seed: int,
+    level: int,
+    max_sweeps: int = 16,
+    n_blocks: int | None = None,
+    block_target: int = 64,
+    ckpt_dir: str | None = None,
+) -> tuple[DataFrame, float]:
+    """Block-parallel local-move phase (Grappolo-style, the north-star shape).
+
+    Nodes are hash-partitioned into blocks; each sweep ships every block its
+    nodes' full adjacency tagged with a sweep-start snapshot of community
+    assignments and Σ_tot aggregates, and the block kernel runs *sequential*
+    python-louvain moves to in-block fixpoint (vectorized numpy per node),
+    tracking local Σ_tot deltas. Cross-block state refreshes between sweeps;
+    sweeps stop when nothing moves. Order-dependent (as all parallel Louvain
+    is) — validated on modularity + order-invariant graphs.
+    """
+    from louvain_spark.operators.quality import modularity as q_mod
+
+    e = edges.persist()
+    m = e.agg(F.sum("w")).collect()[0][0]
+    if not m:
+        assign = ids.select("id", F.col("id").alias("community"))
+        e.unpersist()
+        return assign, 0.0
+    if n_blocks is None:
+        # scale block count to the graph: coarse levels collapse to one
+        # block (sequential local moves → guaranteed convergence, the
+        # "switch to exact once it fits" half of the north-star design);
+        # big level-0 graphs fan out to one block per core.
+        n_nodes = ids.count()
+        n_blocks = max(1, min(spark.sparkContext.defaultParallelism, n_nodes // block_target))
+    if ckpt_dir is None:
+        import tempfile
+
+        ckpt_dir = tempfile.mkdtemp(prefix="louvain-sweep-ckpt-")
+
+    loops = e.where(F.col("src") == F.col("dst")).select(
+        F.col("src").alias("id"), F.col("w").alias("self_w")
+    )
+    nonloop = e.where(F.col("src") != F.col("dst"))
+    sym = nonloop.select("src", "dst", "w").unionByName(
+        nonloop.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    k = (
+        ids.join(
+            sym.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("_kw")),
+            "id",
+            "left",
+        )
+        .join(loops, "id", "left")
+        .select(
+            "id",
+            (
+                F.coalesce("_kw", F.lit(0.0)) + 2.0 * F.coalesce("self_w", F.lit(0.0))
+            ).alias("k"),
+            F.coalesce("self_w", F.lit(0.0)).alias("self_w"),
+        )
+        .persist()
+    )
+    sym = sym.persist()
+
+    assign = ids.select("id", F.col("id").alias("community")).localCheckpoint(eager=True)
+    res, mm, lvl, sd = float(resolution), float(m), int(level), int(seed)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        u_arr = pdf["src"].to_numpy()
+        v_arr = pdf["dst"].to_numpy()
+        w_arr = pdf["w"].to_numpy(dtype=np.float64)
+        cu_arr = pdf["cu"].to_numpy()
+        cv_arr = pdf["cd"].to_numpy()
+        k_arr = pdf["k"].to_numpy(dtype=np.float64)
+        sw_arr = pdf["self_w"].to_numpy(dtype=np.float64)
+        tot_cu = pdf["tot_cu"].to_numpy(dtype=np.float64)
+        tot_cd = pdf["tot_cd"].to_numpy(dtype=np.float64)
+        block = int(pdf["_blk"].iloc[0])
+        sweep = int(pdf["_sweep"].iloc[0])
+
+        # snapshot Σ_tot for every community seen in this block
+        base_tot: dict[int, float] = {}
+        for c, t in zip(cu_arr, tot_cu):
+            base_tot[int(c)] = float(t)
+        for c, t in zip(cv_arr, tot_cd):
+            base_tot[int(c)] = float(t)
+        tot_delta: dict[int, float] = {}
+        com_local: dict[int, int] = {}  # node → locally updated community
+        node_k: dict[int, float] = {}
+        node_sw: dict[int, float] = {}
+        node_com: dict[int, int] = {}
+        adj: dict[int, list[tuple[int, float]]] = {}
+        for u, v, wv, cu, kk, swv in zip(u_arr, v_arr, w_arr, cu_arr, k_arr, sw_arr):
+            u = int(u)
+            adj.setdefault(u, []).append((int(v), float(wv)))
+            node_k[u] = float(kk)
+            node_sw[u] = float(swv)
+            node_com[u] = int(cu)
+        nbr_com0 = {int(v): int(c) for v, c in zip(v_arr, cv_arr)}
+
+        def tot_of(c: int) -> float:
+            return base_tot.get(c, 0.0) + tot_delta.get(c, 0.0)
+
+        nodes = np.array(sorted(adj.keys()), dtype=np.int64)
+        if n_blocks > 1:
+            # cross-block swap cycles (u⇄v in different blocks trading
+            # communities every sweep) never damp on their own: activate a
+            # deterministic pseudo-random half of the nodes per sweep
+            parity = ((nodes * 2654435761 + sweep * 40503) % (2**32)) >> 16
+            nodes = nodes[(parity & 1) == 0]
+        rng = np.random.RandomState(
+            (sd + 1000003 * lvl + 7919 * sweep + 104729 * block) % (2**32)
+        )
+        moved_rows = []
+        for _pass in range(10):
+            rng.shuffle(nodes)
+            pass_moved = 0
+            for u in nodes:
+                u = int(u)
+                cu = com_local.get(u, node_com[u])
+                ku = node_k[u]
+                degc = ku / (2.0 * mm)
+                neigh: dict[int, float] = {}
+                for v, wv in adj[u]:
+                    cv = com_local.get(v, nbr_com0.get(v, v))
+                    neigh[cv] = neigh.get(cv, 0.0) + wv
+                own_dnc = neigh.get(cu, 0.0)
+                remove_cost = -own_dnc + res * (tot_of(cu) - ku) * degc
+                tot_delta[cu] = tot_delta.get(cu, 0.0) - ku
+                best_com, best_incr = cu, 0.0
+                for c in sorted(neigh):
+                    incr = remove_cost + neigh[c] - res * tot_of(c) * degc
+                    if incr > best_incr:
+                        best_incr, best_com = incr, c
+                tot_delta[best_com] = tot_delta.get(best_com, 0.0) + ku
+                if best_com != cu:
+                    com_local[u] = best_com
+                    pass_moved += 1
+            if pass_moved == 0:
+                break
+        for u, c in com_local.items():
+            if c != node_com[u]:
+                moved_rows.append((u, c))
+        return pd.DataFrame(moved_rows, columns=["id", "new_com"]).astype("int64")
+
+    for sweep in range(max_sweeps):
+        if _DBG:
+            import sys as _sys
+            import time as _time
+
+            _t0 = _time.monotonic()
+
+            def _mark(label, _t0=_t0):
+                print(
+                    f"[louvain-par]   {label} +{_time.monotonic() - _t0:.2f}s",
+                    file=_sys.stderr,
+                    flush=True,
+                )
+        else:
+            def _mark(label):
+                pass
+        tot = (
+            assign.join(k.select("id", "k"), "id")
+            .groupBy("community")
+            .agg(F.sum("k").alias("tot"))
+        )
+        a_dst = assign.select(F.col("id").alias("dst"), F.col("community").alias("cd"))
+        a_src = assign.select(F.col("id").alias("src"), F.col("community").alias("cu"))
+        tagged = (
+            sym.join(a_dst, "dst")
+            .join(a_src, "src")
+            .join(k.select(F.col("id").alias("src"), "k", "self_w"), "src")
+            .join(tot.select(F.col("community").alias("cd"), F.col("tot").alias("tot_cd")), "cd")
+            .join(tot.select(F.col("community").alias("cu"), F.col("tot").alias("tot_cu")), "cu")
+            .withColumn("_blk", F.pmod(F.xxhash64("src"), F.lit(n_blocks)).cast("int"))
+            .withColumn("_sweep", F.lit(sweep))
+        )
+        moved_df = tagged.groupBy("_blk").applyInPandas(
+            kernel, "id long, new_com long"
+        )
+        # parquet roundtrip = durable sweep checkpoint + stats reset (see
+        # _stats_reset): moved_df otherwise carries the product-of-joins
+        # size estimate into next sweep's assign, compounding exponentially
+        moved_df = _stats_reset(spark, moved_df, ckpt_dir, f"moved-l{level}-s{sweep}")
+        moved = moved_df.count()
+        _mark("kernel+count")
+        if _DBG:
+            qe = assign._jdf.queryExecution()
+            adigits = len(str(qe.analyzed().stats().sizeInBytes()))
+            tq = tagged._jdf.queryExecution()
+            tdigits = len(str(tq.analyzed().stats().sizeInBytes()))
+            print(
+                f"[louvain-par]   stats-digits: assign={adigits} tagged={tdigits}"
+                f" assign_plan={len(qe.toString())}",
+                file=__import__("sys").stderr,
+                flush=True,
+            )
+        if _DBG:
+            import sys as _sys
+            import time as _time
+
+            print(
+                f"[louvain-par] level={level} sweep={sweep} moved={moved} t={_time.monotonic():.1f}",
+                file=_sys.stderr,
+                flush=True,
+            )
+        if moved == 0:
+            break
+        prev_assign = assign
+        assign = (
+            assign.join(moved_df, "id", "left")
+            .select("id", F.coalesce("new_com", "community").alias("community"))
+            .localCheckpoint(eager=True)
+        )
+        prev_assign.unpersist()
+        _mark("assign-update")
+
+    mod = q_mod(e.withColumnRenamed("w", "weight"), assign, resolution, "weight")
+    e.unpersist()
+    k.unpersist()
+    sym.unpersist()
+    return assign, float(mod)
+
+
+# ---------------------------------------------------------------------------
+
+def louvain(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    resolution: float = 1.0,
+    seed: int = 42,
+    weight_col: str | None = "weight",
+    mode: str = "exact",
+    min_gain: float = MIN_GAIN,
+    max_levels: int = 32,
+    runner: SuperstepRunner | None = None,
+    parallel_opts: dict | None = None,
+) -> tuple[DataFrame, float]:
+    """Returns (assignments(id, community), final modularity).
+
+    Communities are labeled 0..k-1 (dendrogram top level). weight_col=None
+    clusters the unweighted graph, reproducing the reference's shipped
+    behavior (SURVEY.md §2.8).
+    """
+    if runner is None:
+        runner = SuperstepRunner(spark, "adhoc", f"louvain-{mode}")
+    import tempfile
+
+    ckpt_base = runner.checkpoint_dir or tempfile.mkdtemp(prefix="louvain-ckpt-")
+
+    if mode == "exact":
+        one_level = _one_level_exact
+    else:
+        def one_level(spark, e, ids, resolution, seed, level):
+            return _one_level_parallel(
+                spark, e, ids, resolution, seed, level,
+                ckpt_dir=ckpt_base, **(parallel_opts or {}),
+            )
+
+    ids = vertex_ids(edges, vertices).persist()
+    e = _normalize(edges, weight_col)
+    total_w = e.agg(F.coalesce(F.sum("w"), F.lit(0.0))).collect()[0][0]
+    if not total_w:
+        win = Window.orderBy("id")
+        assign = ids.select(
+            "id", (F.row_number().over(win) - 1).cast("long").alias("community")
+        )
+        return assign, 0.0
+
+    # level 0 (always kept, as in python-louvain generate_dendrogram)
+    assign, mod = one_level(spark, e, ids, resolution, seed, 0)
+    assign = _renumber(assign)
+    mapping = runner.advance(StepResult(assign, metric=mod))
+    # level boundaries are natural checkpoints: cut lineage so each level's
+    # sweeps replan against a flat, materialized graph
+    cur_edges = _stats_reset(spark, _coarsen(e, mapping), ckpt_base, "edges-l1")
+    cur_ids = mapping.select(F.col("community").alias("id")).distinct().localCheckpoint(eager=True)
+
+    for level in range(1, max_levels):
+        assign, new_mod = one_level(spark, cur_edges, cur_ids, resolution, seed, level)
+        if new_mod - mod < min_gain:
+            break
+        assign = _renumber(assign)
+        mapping = runner.advance(
+            StepResult(
+                mapping.withColumnRenamed("community", "_c")
+                .join(assign.withColumnRenamed("id", "_c"), "_c")
+                .select("id", "community"),
+                metric=new_mod,
+            )
+        )
+        mod = new_mod
+        cur_edges = _stats_reset(
+            spark, _coarsen(cur_edges, assign), ckpt_base, f"edges-l{level + 1}"
+        )
+        cur_ids = assign.select(F.col("community").alias("id")).distinct().localCheckpoint(eager=True)
+
+    ids.unpersist()
+    return mapping, float(mod)

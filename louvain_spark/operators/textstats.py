@@ -1,0 +1,103 @@
+"""Text analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+Everything is built from JVM-side expressions (regexp_extract_all, split,
+aggregate HOFs) so DuckDB can replay each operator as oracle SQL — the
+regexes are kept to the portable subset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# language marker words (stopword heuristic, n-gram-free)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "ich"],
+    "fr": ["le", "la", "les", "et", "est", "des", "une", "que"],
+    "es": ["el", "la", "los", "que", "de", "es", "una", "para"],
+}
+
+TOKEN_RE = r"[A-Za-z0-9_']+"
+
+
+def token_count(col):
+    """Whitespace/punct token count via regexp_extract_all (BPE-ish regex)."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_RE), 0))
+
+
+def with_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return docs.withColumns(
+        {
+            "n_tokens": token_count(t),
+            "n_chars_engine": F.length(t),
+            "n_words": F.size(F.split(F.trim(t), r"\s+")),
+        }
+    )
+
+
+def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, mean_token_len, punct_ratio, upper_ratio,
+    stopword_ratio, quality) — length/punct/stopword heuristics."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    tok_chars = F.length(F.regexp_replace(t, r"[^A-Za-z0-9_']", ""))
+    punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9_\s]", ""))
+    upper = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
+    stops = F.size(
+        F.regexp_extract_all(
+            F.lower(t), F.lit(r"\b(the|and|of|to|is|in|a|that|it|for)\b"), 0
+        )
+    )
+    n_len = F.greatest(F.length(t), F.lit(1))
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.alias("n_tokens"),
+        (tok_chars / F.greatest(n_tok, F.lit(1))).alias("mean_token_len"),
+        (punct / n_len).alias("punct_ratio"),
+        (upper / n_len).alias("upper_ratio"),
+        (stops / F.greatest(n_tok, F.lit(1))).alias("stopword_ratio"),
+    )
+    quality = (
+        F.when(F.col("n_tokens") < 5, 0.0)
+        .otherwise(
+            F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.4
+            + (1.0 - F.least(F.col("punct_ratio") * 4.0, F.lit(1.0))) * 0.3
+            + F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)) * 0.3
+        )
+    )
+    return out.withColumn("quality", quality)
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, lang, lang_score) — argmax of per-language marker-word hits
+    normalized by token count; 'und' (undetermined) when no marker hits."""
+    t = F.lower(F.col(text_col))
+    hit_cols = {}
+    for lang, words in LANG_MARKERS.items():
+        pat = r"\b(" + "|".join(words) + r")\b"
+        hit_cols[lang] = F.size(F.regexp_extract_all(t, F.lit(pat), 0))
+    n_tok = F.greatest(token_count(F.col(text_col)), F.lit(1))
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[(hit_cols[lang] / n_tok).alias(f"score_{lang}") for lang in LANG_MARKERS],
+    )
+    best_score = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
+    lang_expr = F.when(best_score <= 0, F.lit("und"))
+    for lang in LANG_MARKERS:  # dict order = tie-break priority (en first)
+        lang_expr = lang_expr.when(F.col(f"score_{lang}") == best_score, F.lit(lang))
+    return scored.select(
+        "doc_id", lang_expr.alias("lang_pred"), best_score.alias("lang_score")
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5) -> DataFrame:
+    """(doc_id, fingerprint) — min-of-kgram-md5 document fingerprint
+    (winnowing-style selection with window = whole doc; robust to token
+    order-preserving edits outside the minimal shingle)."""
+    from louvain_spark.operators.dedup import shingles
+
+    sh = shingles(docs, id_col, text_col, n)
+    return sh.groupBy("doc_id").agg(F.min(F.md5(F.col("shingle"))).alias("fingerprint"))

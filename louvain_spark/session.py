@@ -13,6 +13,10 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_CONF = {
+    # local mode hosts driver+executors in one JVM; the 1g default heap GC-
+    # thrashes under iterative workloads (accumulated checkpoint blocks +
+    # per-job task-binary broadcasts). Applies only at JVM launch.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     # shuffle sizing: ~1 partition per core at sandbox scale; a cluster run
     # would set this to 2-3x total cores (or rely on AQE coalescing).
     "spark.sql.shuffle.partitions": "32",

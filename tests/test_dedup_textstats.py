@@ -1,0 +1,134 @@
+"""Dedup family + text stats vs pure-python oracles."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from louvain_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_signatures,
+)
+from louvain_spark.operators.textstats import (
+    fingerprint,
+    language_id,
+    quality_scores,
+    with_token_stats,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),       # exact dup of 0
+    (2, "The quick  brown fox jumps over the lazy dog"),      # dup after normalize
+    (3, "the quick brown fox jumps over the lazy cat"),       # near dup
+    (4, "der schnelle braune fuchs springt und der hund ist"),
+    (5, "le renard brun est rapide et les chiens sont la"),
+    (6, "completely unrelated text about spark engines and shuffles"),
+    (7, ""),
+]
+SCHEMA = "doc_id long, text string"
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, SCHEMA)
+
+
+def _py_shingles(text, n=3):
+    toks = " ".join(text.lower().split()).split(" ")
+    if toks == [""]:
+        toks = [""]
+    if len(toks) <= n:
+        return {" ".join(toks[: n])} if text.strip() else {""}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_exact_duplicates(spark):
+    got = {r["doc_id"]: (r["group_id"], r["group_size"], r["is_canonical"])
+           for r in exact_duplicates(_docs(spark)).collect()}
+    assert set(got) == {0, 1, 2}
+    assert all(v[0] == 0 and v[1] == 3 for v in got.values())
+    assert got[0][2] is True and got[1][2] is False
+
+
+def test_ngram_jaccard_matches_python(spark):
+    got = {(r["src"], r["dst"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(_docs(spark), threshold=0.3).collect()}
+    texts = dict(DOCS)
+    want = {}
+    for a, b in itertools.combinations(range(len(DOCS)), 2):
+        sa, sb = _py_shingles(texts[a]), _py_shingles(texts[b])
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.3:
+            want[(a, b)] = j
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_minhash_estimates_jaccard(spark):
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(_docs(spark), num_hashes=64).collect()}
+    est = np.mean([a == b for a, b in zip(sigs[0], sigs[3])])
+    texts = dict(DOCS)
+    sa, sb = _py_shingles(texts[0]), _py_shingles(texts[3])
+    true_j = len(sa & sb) / len(sa | sb)
+    assert abs(est - true_j) < 0.25  # 64 hashes → rough estimate
+    assert sigs[0] == sigs[1] == sigs[2]  # identical after normalize
+
+
+def test_minhash_lsh_finds_dups(spark):
+    pairs = {(r["src"], r["dst"]) for r in
+             minhash_lsh_pairs(_docs(spark), num_hashes=16, bands=8).collect()}
+    assert {(0, 1), (0, 2), (1, 2)} <= pairs
+    verified = {(r["src"], r["dst"]) for r in
+                minhash_lsh_pairs(_docs(spark), num_hashes=16, bands=8,
+                                  verify_threshold=0.99).collect()}
+    assert verified == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_simhash_dups_and_hamming(spark):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(_docs(spark)).collect()}
+    assert sigs[0] == sigs[1] == sigs[2]
+    pairs = {(r["src"], r["dst"]): r["hamming"]
+             for r in simhash_pairs(_docs(spark), max_hamming=16).collect()}
+    # exact dups always found (all blocks agree), hamming 0
+    assert pairs[(0, 1)] == 0 and pairs[(0, 2)] == 0 and pairs[(1, 2)] == 0
+    # every reported hamming matches the python-computed signature distance
+    for (a, b), h in pairs.items():
+        want = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+        assert h == want
+    # 4-block LSH recall guarantee: every pair within hamming ≤ 3 is found
+    import itertools
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        d = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+        if d <= 3:
+            assert (a, b) in pairs
+
+
+def test_token_stats_and_quality(spark):
+    qs = {r["doc_id"]: r for r in quality_scores(_docs(spark)).collect()}
+    assert qs[0]["n_tokens"] == 9
+    assert qs[7]["n_tokens"] == 0 and qs[7]["quality"] == 0.0
+    assert qs[0]["quality"] > qs[7]["quality"]
+    ts = with_token_stats(_docs(spark)).collect()
+    for r in ts:
+        assert r["n_chars_engine"] == len(r["text"])
+
+
+def test_language_id(spark):
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(_docs(spark)).collect()}
+    assert got[0] == "en"
+    assert got[4] == "de"
+    assert got[5] == "fr"
+    assert got[7] == "und"
+
+
+def test_fingerprint_stable_for_dups(spark):
+    fp = {r["doc_id"]: r["fingerprint"] for r in fingerprint(_docs(spark)).collect()}
+    assert fp[0] == fp[1] == fp[2]
+    assert fp[0] != fp[6]

@@ -1,0 +1,107 @@
+"""Semantic stage: featurizer determinism/normalization, block top-k ==
+brute top-k == numpy golden (FIXTURES.md §4), weight blend semantics."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from louvain_spark.functions.featurize import featurize_batch
+from louvain_spark.operators.semantic import (
+    blend_weights,
+    featurize_fields,
+    relation_weight_col,
+    semantic_pairs,
+)
+from louvain_spark.operators.similarity import cosine_topk_blocked, cosine_topk_brute
+
+import pandas as pd
+
+
+DOCS = [
+    (0, "alpha beta gamma delta", "why one", "how one", "title a"),
+    (1, "alpha beta gamma delta", "why one", "how one", "title b"),  # near-dup of 0
+    (2, "totally different text here", "other reason", "other method", "t"),
+    (3, "alpha beta gamma epsilon", "why one", "how two", "title d"),
+    (4, None, None, None, None),  # NULLs → '' (P1)
+]
+SCHEMA = "id long, name_text string, why_text string, how_text string, title_text string"
+
+
+def test_featurizer_deterministic_unit_norm():
+    a = featurize_batch(pd.Series(["hello world", "hello world", "x"]), dim=32)
+    assert np.allclose(a[0], a[1])
+    assert abs(np.linalg.norm(a[0]) - 1.0) < 1e-6
+    assert a[0].dtype == np.float32
+    z = featurize_batch(pd.Series([None]), dim=32)
+    assert np.allclose(z[0], 0.0)
+
+
+def test_topk_blocked_equals_brute_and_numpy(spark):
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(30, 8).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)], "id long, vec array<float>"
+    )
+    brute = cosine_topk_brute(df, df, k=5).collect()
+    blocked = cosine_topk_blocked(spark, df, df, k=5).collect()
+
+    def norm(rows):
+        return sorted((r["query_id"], r["rank"], r["item_id"], round(r["sim"], 5)) for r in rows)
+
+    assert norm(brute) == norm(blocked)
+    # numpy golden
+    sims = vecs @ vecs.T
+    np.fill_diagonal(sims, -np.inf)
+    for q in range(30):
+        order = np.lexsort((np.arange(30), -sims[q]))[:5]
+        got = [r["item_id"] for r in sorted(blocked, key=lambda r: r["rank"]) if r["query_id"] == q]
+        assert got == list(order)
+
+
+def test_semantic_pairs_near_dup(spark):
+    docs = spark.createDataFrame(DOCS, SCHEMA)
+    pairs = semantic_pairs(spark, docs, threshold=0.8, k=10, dim=64).collect()
+    got = {(r["src"], r["dst"]) for r in pairs}
+    assert (0, 1) in got  # identical name/why fields → blend ≈ 1.0
+    for r in pairs:
+        assert r["semantic_weight"] >= 0.8
+    assert all(r["src"] < r["dst"] for r in pairs)
+
+
+def test_relation_weight_distinct_mean(spark):
+    df = spark.createDataFrame(
+        [(["tool", "conv"],), (["role", "role", "tool"],), ([],)],
+        "etypes array<string>",
+    )
+    got = [
+        r[0]
+        for r in df.select(relation_weight_col(F.col("etypes")).alias("w")).collect()
+    ]
+    assert abs(got[0] - (0.7 + 0.1) / 2) < 1e-9
+    assert abs(got[1] - (0.1 + 0.1 + 0.7) / 3) < 1e-9
+    assert got[2] == 0.0
+
+
+def test_blend_weights_default_zero_semantic(spark):
+    edges = spark.createDataFrame(
+        [(0, 1, 2.0, ["tool"]), (1, 2, 1.0, ["conv"])],
+        "src long, dst long, weight double, etypes array<string>",
+    )
+    sem = spark.createDataFrame([(0, 1, 0.9)], "src long, dst long, semantic_weight double")
+    out = {(r["src"], r["dst"]): r for r in blend_weights(edges, sem).collect()}
+    r01 = out[(0, 1)]
+    assert abs(r01["final_weight"] - (0.7 * 0.9 + 0.3 * 0.7)) < 1e-9
+    r12 = out[(1, 2)]
+    assert r12["semantic_weight"] == 0.0
+    assert abs(r12["final_weight"] - 0.3 * 0.1) < 1e-9
+
+
+def test_featurize_fields_combined_unit(spark):
+    docs = spark.createDataFrame(DOCS, SCHEMA)
+    emb = featurize_fields(docs, dim=32)
+    rows = emb.select("id", "_v_combined").collect()
+    for r in rows:
+        v = np.array(r["_v_combined"])
+        n = np.linalg.norm(v)
+        assert n == 0.0 or abs(n - 1.0) < 1e-5
