@@ -1,38 +1,558 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)      — flagship: Louvain over the events co-occurrence graph
+                    at sf0.001 (the reference pipeline's analytical core,
+                    /root/reference/tool/Neo4jLouvainProcessor.py:282-287,
+                    re-expressed Spark-first).
+queries()         — one callable per implemented operator (SURVEY.md §2).
+oracle_sql()      — DuckDB-equivalent ANSI SQL for every SQL-expressible
+                    query (iterative float ops — PageRank/Louvain/LPA/
+                    SimHash — are rows-only by design; the pytest suite
+                    holds their numeric oracles instead).
+
+Float columns are either exact (integer cents / count aggregates) or
+rounded after deterministic arithmetic so cross-engine hashes match.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from louvain_spark.operators.cc import connected_components
+from louvain_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash_signatures,
+)
+from louvain_spark.operators.graph import degrees
+from louvain_spark.operators.lpa import label_propagation
+from louvain_spark.operators.louvain import louvain
+from louvain_spark.operators.pagerank import pagerank
+from louvain_spark.operators.quality import modularity
+from louvain_spark.operators.similarity import cosine_topk_brute
+from louvain_spark.operators.textstats import (
+    language_id,
+    quality_scores,
+    fingerprint,
+)
+from louvain_spark.operators.triangles import triangle_count
+from louvain_spark.sources.tables import EVENTS_COOC_SQL, events_cooc, load
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Louvain community detection over the events co-occurrence graph."""
+    verts, edges = events_cooc(load(spark, "/root/testdata/sf0.001", "events"))
+    assign, _mod = louvain(spark, edges, vertices=verts.select("id"), mode="exact")
+    return assign.join(verts, "id").select("id", "name", "community")
+
+
+# ---------------------------------------------------------------------------
+# spark-side queries
+# ---------------------------------------------------------------------------
+
+def _graph(spark, sf_dir):
+    return events_cooc(load(spark, sf_dir, "events"))
+
+
+def q_cooc_vertices(spark, sf_dir):
+    verts, _ = _graph(spark, sf_dir)
+    return verts.select("id", "name")
+
+
+def q_cooc_edges(spark, sf_dir):
+    _, edges = _graph(spark, sf_dir)
+    return edges.select("src", "dst", "weight")
+
+
+def q_degrees(spark, sf_dir):
+    _, edges = _graph(spark, sf_dir)
+    return degrees(edges, "weight").select("id", "degree", "strength")
+
+
+def q_cc(spark, sf_dir):
+    verts, edges = _graph(spark, sf_dir)
+    return connected_components(spark, edges, vertices=verts.select("id")).select(
+        "id", "component"
+    )
+
+
+def q_triangles(spark, sf_dir):
+    _, edges = _graph(spark, sf_dir)
+    n = triangle_count(edges)
+    return spark.createDataFrame([(n,)], "n_triangles long")
+
+
+def q_modularity_hash4(spark, sf_dir):
+    verts, edges = _graph(spark, sf_dir)
+    assign = verts.select("id", F.pmod("id", F.lit(4)).cast("long").alias("community"))
+    q = modularity(edges, assign, resolution=1.0, weight_col="weight")
+    return spark.createDataFrame([(round(q, 6),)], "modularity double")
+
+
+def q_pagerank(spark, sf_dir):
+    verts, edges = _graph(spark, sf_dir)
+    pr = pagerank(spark, edges, vertices=verts.select("id"), max_iter=30, tol=1e-8)
+    return pr.select("id", F.round("score", 6).alias("score"))
+
+
+def q_louvain(spark, sf_dir):
+    verts, edges = _graph(spark, sf_dir)
+    assign, _ = louvain(spark, edges, vertices=verts.select("id"), mode="exact")
+    return assign.select("id", "community")
+
+
+def q_lpa(spark, sf_dir):
+    verts, edges = _graph(spark, sf_dir)
+    return label_propagation(spark, edges, vertices=verts.select("id")).select(
+        "id", "community"
+    )
+
+
+def q_top3_orders(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_r2"),
+            "rn",
+        )
+    )
+
+
+def q_customers_without_orders(spark, sf_dir):
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents("l_quantity")).alias("sum_qty_cents"),
+            F.sum(cents("l_extendedprice")).alias("sum_price_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "sum_qty_cents", "sum_price_cents", "count_order"
+        )
+    )
+
+
+def q_canonical_pairs(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.least("l_partkey", "l_suppkey").alias("a"),
+            F.greatest("l_partkey", "l_suppkey").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def q_minmax_norm_orders(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy()
+    return orders.select(
+        "o_orderkey",
+        F.round(
+            (F.col("o_totalprice") - F.min("o_totalprice").over(w))
+            / (F.max("o_totalprice").over(w) - F.min("o_totalprice").over(w)),
+            6,
+        ).alias("norm"),
+    )
+
+
+def q_md5_ids(spark, sf_dir):
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.concat(
+            F.col("p_partkey").cast("string"),
+            F.lit("-"),
+            F.substring(F.md5(F.concat_ws("_", F.col("p_partkey"), F.col("p_name"))), 1, 8),
+        ).alias("pid"),
+    )
+
+
+def q_split_dedup(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    packed = F.concat_ws(",", "o_orderpriority", "o_orderstatus", "o_orderpriority")
+    return orders.select(
+        "o_orderkey",
+        F.array_join(F.array_sort(F.array_distinct(F.split(packed, ","))), ",").alias(
+            "entities"
+        ),
+    )
+
+
+def q_substring_docs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.substring("text", 1, 80).alias("prefix"), F.length("text").alias("n")
+    )
+
+
+def q_doc_digests(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs.groupBy(F.md5(norm).alias("digest")).agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("doc_id").alias("min_doc")
+    )
+
+
+def q_fingerprint_docs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return fingerprint(docs, n=1).select("doc_id", "fingerprint")
+
+
+def q_minhash_sig_docs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=8, n=1)
+    return sigs.select("doc_id", F.concat_ws("|", "sig").alias("sig_str"))
+
+
+def q_lsh_pairs_docs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, num_hashes=8, bands=4, n=1).select("src", "dst")
+
+
+def q_token_stats_docs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z0-9_']+"), 0)).alias("n_tokens"),
+        F.length("text").alias("n_chars_engine"),
+    )
+
+
+def q_quality_docs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    q = quality_scores(docs)
+    return q.select(
+        "doc_id",
+        "n_tokens",
+        F.round("mean_token_len", 6).alias("mean_token_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("quality", 6).alias("quality"),
+    )
+
+
+def q_language_id_docs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return language_id(docs).select("doc_id", "lang_pred")
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    norm = F.sqrt(F.aggregate(F.col("embedding"), F.lit(0.0), lambda a, x: a + x * x))
+    unit = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x / norm).alias("vec"),
+    )
+    q = unit.where(F.col("id") < 20)
+    top = cosine_topk_brute(q, unit, k=5)
+    return top.select(
+        "query_id", "item_id", "rank", F.round("sim", 4).alias("sim_r4")
+    )
+
+
+def q_prev_event(spark, sf_dir):
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id", "user_id", F.lag("event_type").over(w).alias("prev_type")
+    )
+
+
+def q_simhash_docs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return simhash_signatures(docs).select("doc_id", "simhash")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "cooc_vertices_events": q_cooc_vertices,
+        "cooc_edges_events": q_cooc_edges,
+        "degrees_events": q_degrees,
+        "cc_events": q_cc,
+        "triangle_count_events": q_triangles,
+        "modularity_hash4_events": q_modularity_hash4,
+        "pagerank_events": q_pagerank,
+        "louvain_events": q_louvain,
+        "lpa_events": q_lpa,
+        "top3_orders_per_customer": q_top3_orders,
+        "customers_without_orders": q_customers_without_orders,
+        "pricing_summary_lineitem": q_pricing_summary,
+        "canonical_pairs_lineitem": q_canonical_pairs,
+        "minmax_norm_orders": q_minmax_norm_orders,
+        "md5_ids_part": q_md5_ids,
+        "split_dedup_entities": q_split_dedup,
+        "substring_truncate_docs": q_substring_docs,
+        "doc_digests": q_doc_digests,
+        "fingerprint_docs": q_fingerprint_docs,
+        "minhash_sig_docs": q_minhash_sig_docs,
+        "lsh_pairs_docs": q_lsh_pairs_docs,
+        "token_stats_docs": q_token_stats_docs,
+        "quality_scores_docs": q_quality_docs,
+        "language_id_docs": q_language_id_docs,
+        "ann_topk_embeddings": q_ann_topk,
+        "prev_event_per_user": q_prev_event,
+        "simhash_docs": q_simhash_docs,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_NORM_TEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKENS = "regexp_extract_all(text, '[A-Za-z0-9_'']+')"
+
+_QUALITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+    len({_TOKENS}) AS n_tokens,
+    length(regexp_replace(text, '[^A-Za-z0-9_'']', '', 'g')) AS tok_chars,
+    length(regexp_replace(text, '[A-Za-z0-9_\\s]', '', 'g')) AS punct,
+    len(regexp_extract_all(lower(text),
+        '\\b(the|and|of|to|is|in|a|that|it|for)\\b')) AS stops,
+    greatest(length(text), 1) AS n_len
+  FROM documents
+), r AS (
+  SELECT doc_id, n_tokens,
+    tok_chars::DOUBLE / greatest(n_tokens, 1) AS mean_token_len,
+    punct::DOUBLE / n_len AS punct_ratio,
+    stops::DOUBLE / greatest(n_tokens, 1) AS stopword_ratio
+  FROM base
+)
+SELECT doc_id, n_tokens,
+  round(mean_token_len, 6) AS mean_token_len,
+  round(punct_ratio, 6) AS punct_ratio,
+  round(stopword_ratio, 6) AS stopword_ratio,
+  round(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+    least(n_tokens / 100.0, 1.0) * 0.4
+    + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.3
+    + least(stopword_ratio * 5.0, 1.0) * 0.3 END, 6) AS quality
+FROM r
+"""
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "ich"],
+    "fr": ["le", "la", "les", "et", "est", "des", "une", "que"],
+    "es": ["el", "la", "los", "que", "de", "es", "una", "para"],
+}
+_LANG_SCORES = ",\n    ".join(
+    f"len(regexp_extract_all(lower(text), '\\b({'|'.join(ws)})\\b'))::DOUBLE"
+    f" / greatest(len({_TOKENS}), 1) AS score_{lang}"
+    for lang, ws in _LANG_MARKERS.items()
+)
+_LANG_SQL = f"""
+WITH s AS (SELECT doc_id, {_LANG_SCORES} FROM documents),
+m AS (SELECT doc_id, score_en, score_de, score_fr, score_es,
+       greatest(score_en, score_de, score_fr, score_es) AS best FROM s)
+SELECT doc_id,
+  CASE WHEN best <= 0 THEN 'und'
+       WHEN score_en = best THEN 'en'
+       WHEN score_de = best THEN 'de'
+       WHEN score_fr = best THEN 'fr'
+       WHEN score_es = best THEN 'es' END AS lang_pred
+FROM m
+"""
+
+_MINHASH_MINS = ", ".join(
+    f"min(md5('s{i}:' || word)) AS h{i}" for i in range(8)
+)
+_WORDS_CTE = f"""
+WITH w AS (
+  SELECT doc_id, word
+  FROM documents, UNNEST(string_split({_NORM_TEXT}, ' ')) AS t(word)
+),
+sig AS (SELECT doc_id, {_MINHASH_MINS} FROM w GROUP BY doc_id)
+"""
+
+_ANN_SQL = """
+WITH unit AS (
+  SELECT vec_id AS id,
+    list_transform(embedding::DOUBLE[], x -> x / sqrt(
+      list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS vec
+  FROM embeddings
+),
+pairs AS (
+  SELECT q.id AS query_id, i.id AS item_id,
+    list_sum(list_transform(list_zip(q.vec, i.vec), x -> x[1] * x[2])) AS sim
+  FROM unit q JOIN unit i ON q.id < 20 AND q.id != i.id
+),
+ranked AS (
+  SELECT query_id, item_id, sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, item_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, item_id, rank::INT AS rank, round(sim, 4) AS sim_r4
+FROM ranked WHERE rank <= 5
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    E = EVENTS_COOC_SQL  # shared CTE: m, v, mi, e (events co-occurrence)
+    return {
+        "cooc_vertices_events": E + "SELECT id, name FROM v",
+        "cooc_edges_events": E + "SELECT src, dst, weight FROM e",
+        "degrees_events": E
+        + """
+        , sym AS (
+          SELECT src AS id, weight FROM e UNION ALL SELECT dst, weight FROM e
+        )
+        SELECT id, count(*) AS degree, sum(weight) AS strength
+        FROM sym GROUP BY id
+        """,
+        "cc_events": E
+        + """
+        , sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        lbl AS (
+          WITH RECURSIVE r(id, comp) AS (
+            SELECT id, id FROM v
+            UNION
+            SELECT s.src, least(x.comp, s.dst)
+            FROM sym s JOIN r x ON s.dst = x.id
+          )
+          SELECT id, min(comp) AS component FROM r GROUP BY id
+        )
+        SELECT id, component FROM lbl
+        """,
+        "triangle_count_events": E
+        + """
+        SELECT count(*)::BIGINT AS n_triangles
+        FROM e e1 JOIN e e2 ON e1.dst = e2.src AND e1.src < e1.dst AND e2.src < e2.dst
+        JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        """,
+        "modularity_hash4_events": E
+        + """
+        , a AS (SELECT id, id % 4 AS community FROM v),
+        tagged AS (
+          SELECT e.weight AS w, s.community AS cs, d.community AS cd
+          FROM e JOIN a s ON e.src = s.id JOIN a d ON e.dst = d.id
+        ),
+        tm AS (SELECT sum(w) AS m FROM tagged),
+        inc AS (SELECT cs AS community, sum(w) AS in_w FROM tagged WHERE cs = cd GROUP BY cs),
+        deg AS (
+          SELECT community, sum(w) AS deg_w FROM (
+            SELECT cs AS community, w FROM tagged UNION ALL SELECT cd, w FROM tagged
+          ) GROUP BY community
+        )
+        SELECT round(sum(coalesce(inc.in_w, 0) / tm.m
+                         - (deg.deg_w / (2 * tm.m)) ^ 2), 6) AS modularity
+        FROM deg LEFT JOIN inc USING (community), tm
+        """,
+        "top3_orders_per_customer": """
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total_r2, rn FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+            row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders
+        ) WHERE rn <= 3
+        """,
+        "customers_without_orders": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "pricing_summary_lineitem": """
+        SELECT l_returnflag, l_linestatus,
+          sum(round(l_quantity * 100)::BIGINT)::BIGINT AS sum_qty_cents,
+          sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_price_cents,
+          count(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "canonical_pairs_lineitem": """
+        SELECT DISTINCT least(l_partkey, l_suppkey) AS a,
+                        greatest(l_partkey, l_suppkey) AS b
+        FROM lineitem WHERE l_partkey != l_suppkey
+        """,
+        "minmax_norm_orders": """
+        SELECT o_orderkey, round(
+          (o_totalprice - min(o_totalprice) OVER ())
+          / (max(o_totalprice) OVER () - min(o_totalprice) OVER ()), 6) AS norm
+        FROM orders
+        """,
+        "md5_ids_part": """
+        SELECT p_partkey,
+          p_partkey::VARCHAR || '-' ||
+          substr(md5(p_partkey::VARCHAR || '_' || p_name), 1, 8) AS pid
+        FROM part
+        """,
+        "split_dedup_entities": """
+        SELECT o_orderkey, array_to_string(list_sort(list_distinct(
+          string_split(o_orderpriority || ',' || o_orderstatus || ',' || o_orderpriority, ','))), ',') AS entities
+        FROM orders
+        """,
+        "substring_truncate_docs": """
+        SELECT doc_id, substr(text, 1, 80) AS prefix, length(text) AS n FROM documents
+        """,
+        "doc_digests": f"""
+        SELECT md5({_NORM_TEXT}) AS digest, count(*) AS cnt, min(doc_id) AS min_doc
+        FROM documents GROUP BY 1
+        """,
+        "fingerprint_docs": f"""
+        SELECT doc_id, min(md5(word)) AS fingerprint
+        FROM documents, UNNEST(string_split({_NORM_TEXT}, ' ')) AS t(word)
+        GROUP BY doc_id
+        """,
+        "minhash_sig_docs": _WORDS_CTE
+        + "SELECT doc_id, "
+        + " || '|' || ".join(f"h{i}" for i in range(8))
+        + " AS sig_str FROM sig",
+        "lsh_pairs_docs": _WORDS_CTE
+        + """
+        , buckets AS (
+          SELECT doc_id, b FROM sig, UNNEST([
+            '0:' || md5(h0 || '|' || h1),
+            '1:' || md5(h2 || '|' || h3),
+            '2:' || md5(h4 || '|' || h5),
+            '3:' || md5(h6 || '|' || h7)
+          ]) AS t(b)
+        )
+        SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        FROM buckets a JOIN buckets b ON a.b = b.b AND a.doc_id < b.doc_id
+        """,
+        "token_stats_docs": f"""
+        SELECT doc_id, len({_TOKENS}) AS n_tokens,
+               length(text) AS n_chars_engine
+        FROM documents
+        """,
+        "quality_scores_docs": _QUALITY_SQL,
+        "language_id_docs": _LANG_SQL,
+        "ann_topk_embeddings": _ANN_SQL,
+        "prev_event_per_user": """
+        SELECT event_id, user_id,
+          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+        """,
+        # pagerank_events / louvain_events / lpa_events / simhash_docs:
+        # iterative or hash-kernel operators, rows-only by design — their
+        # numeric oracles (numpy power iteration, vendored python-louvain
+        # semantics, sync-LPA dict, FNV simhash) live in tests/.
+    }
