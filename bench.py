@@ -68,13 +68,25 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         return _T()
 
     # --- headline: transcripts → co-occurrence edges → graph operators ----
-    t = transcripts_df(spark, preset=preset).persist()
+    # stage through parquet: the engine reads tables, not inline local
+    # relations (whose lineage otherwise rides along in every task binary)
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="louvain-bench-")
+    with timed("synth_write"):
+        transcripts_df(spark, preset=preset).write.mode("overwrite").parquet(
+            f"{work}/transcripts"
+        )
+    t = spark.read.parquet(f"{work}/transcripts")
     n_turns = t.count()
     extra["turns"] = n_turns
 
     with timed("induce_edges"):
         verts, edges = cooccurrence_edges(t, window=8)
-        edges = edges.persist()
+        edges.write.mode("overwrite").parquet(f"{work}/edges")
+        verts.write.mode("overwrite").parquet(f"{work}/vertices")
+        edges = spark.read.parquet(f"{work}/edges")
+        verts = spark.read.parquet(f"{work}/vertices")
         n_edges = edges.count()
     extra["edges"] = n_edges
     extra["edges_per_sec"] = round(n_edges / max(timings["induce_edges"], 1e-9), 1)

@@ -157,6 +157,7 @@ def _one_level_parallel(
     max_sweeps: int = 16,
     n_blocks: int | None = None,
     block_target: int = 64,
+    min_moved_frac: float = 0.01,
     ckpt_dir: str | None = None,
 ) -> tuple[DataFrame, float]:
     """Block-parallel local-move phase (Grappolo-style, the north-star shape).
@@ -177,13 +178,17 @@ def _one_level_parallel(
         assign = ids.select("id", F.col("id").alias("community"))
         e.unpersist()
         return assign, 0.0
+    n_nodes = ids.count()
     if n_blocks is None:
         # scale block count to the graph: coarse levels collapse to one
         # block (sequential local moves → guaranteed convergence, the
         # "switch to exact once it fits" half of the north-star design);
         # big level-0 graphs fan out to one block per core.
-        n_nodes = ids.count()
         n_blocks = max(1, min(spark.sparkContext.defaultParallelism, n_nodes // block_target))
+    # local-move tail cutoff: sweeps moving <1% of nodes contribute
+    # negligible modularity (coarsening recovers it next level; quality
+    # bound vs the sequential oracle is test-enforced)
+    min_moved = max(1, int(n_nodes * min_moved_frac)) if n_blocks > 1 else 1
     if ckpt_dir is None:
         import tempfile
 
@@ -219,6 +224,12 @@ def _one_level_parallel(
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
+
+        if _DBG:
+            import sys as _sys
+            import time as _time
+
+            _kt0 = _time.monotonic()
 
         u_arr = pdf["src"].to_numpy()
         v_arr = pdf["dst"].to_numpy()
@@ -256,10 +267,11 @@ def _one_level_parallel(
             return base_tot.get(c, 0.0) + tot_delta.get(c, 0.0)
 
         nodes = np.array(sorted(adj.keys()), dtype=np.int64)
-        if n_blocks > 1:
+        if n_blocks > 1 and sweep > 0:
             # cross-block swap cycles (u⇄v in different blocks trading
-            # communities every sweep) never damp on their own: activate a
-            # deterministic pseudo-random half of the nodes per sweep
+            # communities every sweep) never damp on their own: after the
+            # all-active consolidation sweep 0, activate a deterministic
+            # pseudo-random half of the nodes per sweep
             parity = ((nodes * 2654435761 + sweep * 40503) % (2**32)) >> 16
             nodes = nodes[(parity & 1) == 0]
         rng = np.random.RandomState(
@@ -295,6 +307,13 @@ def _one_level_parallel(
         for u, c in com_local.items():
             if c != node_com[u]:
                 moved_rows.append((u, c))
+        if _DBG:
+            print(
+                f"[kernel] blk={block} sweep={sweep} rows={len(pdf)} nodes={len(adj)}"
+                f" wall={_time.monotonic() - _kt0:.2f}s",
+                file=_sys.stderr,
+                flush=True,
+            )
         return pd.DataFrame(moved_rows, columns=["id", "new_com"]).astype("int64")
 
     for sweep in range(max_sweeps):
@@ -358,7 +377,7 @@ def _one_level_parallel(
                 file=_sys.stderr,
                 flush=True,
             )
-        if moved == 0:
+        if moved < min_moved:
             break
         prev_assign = assign
         assign = (
@@ -413,7 +432,10 @@ def louvain(
             )
 
     ids = vertex_ids(edges, vertices).persist()
-    e = _normalize(edges, weight_col)
+    # materialize the normalized canonical edge table once: every sweep
+    # re-plans over it, and carrying the caller's lineage (e.g. an inline
+    # local relation) into each task binary dominated sweep time by 4-10x
+    e = _stats_reset(spark, _normalize(edges, weight_col), ckpt_base, "edges-l0")
     total_w = e.agg(F.coalesce(F.sum("w"), F.lit(0.0))).collect()[0][0]
     if not total_w:
         win = Window.orderBy("id")

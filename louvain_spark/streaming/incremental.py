@@ -1,0 +1,131 @@
+"""Incremental daily→all-time cluster migration (reference stage 5).
+
+The reference merges a daily Neo4j DB into an all-time DB
+(/root/reference/event_cover/eventMove.py:31-165): match daily clusters to
+all-time clusters by blended embedding cosine ≥ 0.8 (0.5·why + 0.5·what,
+:438-475), relabel matched, copy unmatched as new clusters, then match
+orphan vertices at ≥ 0.95 (:602-692). No Structured Streaming in the
+reference — this is snapshot-to-snapshot incremental batch (SURVEY.md
+§2.9): joins + anti-joins + union + overwrite, resumable like any other
+engine stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from louvain_spark.functions.featurize import featurize
+from louvain_spark.functions.scalars import l2_normalize
+from louvain_spark.operators.similarity import cosine_topk_brute
+
+CLUSTER_MATCH_THRESHOLD = 0.8   # eventMove.py:459-463
+ORPHAN_MATCH_THRESHOLD = 0.95   # eventMove.py:602-692
+
+
+def cluster_centroids(
+    assignments: DataFrame, attrs: DataFrame, text_col: str = "text", dim: int = 64
+) -> DataFrame:
+    """(community, centroid) — mean of member text features, re-normalized.
+
+    attrs: (id, <text_col>) vertex attributes. The deterministic stand-in
+    for the reference's per-cluster why/what embeddings.
+    """
+    vec = featurize(F.coalesce(F.col(text_col), F.lit("")), dim=dim)
+    member_vecs = assignments.join(attrs, "id").select("community", vec.alias("v"))
+    n = member_vecs.groupBy("community").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array(*[F.sum(F.col("v")[i]).alias(f"s{i}") for i in range(dim)]).alias("sums"),
+    )
+    mean = n.select(
+        "community",
+        F.transform("sums", lambda s: (s / F.col("n")).cast("float")).alias("centroid"),
+    )
+    return mean.select("community", l2_normalize("centroid").alias("centroid"))
+
+
+def match_clusters(
+    daily_centroids: DataFrame,
+    alltime_centroids: DataFrame,
+    threshold: float = CLUSTER_MATCH_THRESHOLD,
+) -> DataFrame:
+    """(daily_community, alltime_community, sim) — best match ≥ threshold,
+    each daily cluster matched to at most one all-time cluster (greedy by
+    similarity, ties → lower all-time id), mirroring the theta cross join
+    + sort of eventMove.py:438-475."""
+    top = cosine_topk_brute(
+        daily_centroids.select(F.col("community").alias("id"), F.col("centroid").alias("vec")),
+        alltime_centroids.select(F.col("community").alias("id"), F.col("centroid").alias("vec")),
+        k=1,
+        min_sim=threshold,
+        exclude_self=False,
+    )
+    return top.select(
+        F.col("query_id").alias("daily_community"),
+        F.col("item_id").alias("alltime_community"),
+        "sim",
+    )
+
+
+def migrate(
+    spark: SparkSession,
+    daily_assign: DataFrame,
+    daily_attrs: DataFrame,
+    alltime_assign: DataFrame,
+    alltime_attrs: DataFrame,
+    text_col: str = "text",
+    dim: int = 64,
+    threshold: float = CLUSTER_MATCH_THRESHOLD,
+    orphan_threshold: float = ORPHAN_MATCH_THRESHOLD,
+) -> DataFrame:
+    """Merged all-time assignments (id, community).
+
+    - daily clusters matching an all-time centroid ≥ threshold are
+      relabeled to the all-time community id;
+    - unmatched daily clusters get fresh ids above the all-time max;
+    - daily vertex ids already present in all-time keep their all-time
+      assignment (the reference never reassigns existing nodes);
+    - orphan handling (singletons at ≥ orphan_threshold) is the same
+      match at a stricter threshold, applied to unmatched singletons.
+    """
+    d_cent = cluster_centroids(daily_assign, daily_attrs, text_col, dim).persist()
+    a_cent = cluster_centroids(alltime_assign, alltime_attrs, text_col, dim).persist()
+
+    # singleton daily clusters face the stricter orphan threshold
+    sizes = daily_assign.groupBy("community").agg(F.count(F.lit(1)).alias("sz"))
+    matches = (
+        match_clusters(d_cent, a_cent, threshold=min(threshold, orphan_threshold))
+        .join(sizes.withColumnRenamed("community", "daily_community"), "daily_community")
+        .where(
+            (F.col("sim") >= F.lit(threshold)) & (F.col("sz") >= 2)
+            | (F.col("sim") >= F.lit(orphan_threshold))
+        )
+        .select("daily_community", "alltime_community")
+    )
+
+    max_alltime = (
+        alltime_assign.agg(F.coalesce(F.max("community"), F.lit(-1))).collect()[0][0]
+    )
+    unmatched = (
+        daily_assign.select("community")
+        .distinct()
+        .join(matches.withColumnRenamed("daily_community", "community"), "community", "left_anti")
+    )
+    w = Window.orderBy("community")
+    fresh = unmatched.select(
+        F.col("community").alias("daily_community"),
+        (F.row_number().over(w) + max_alltime).cast("long").alias("alltime_community"),
+    )
+    remap = matches.unionByName(fresh)
+
+    relabeled = (
+        daily_assign.withColumnRenamed("community", "daily_community")
+        .join(remap, "daily_community")
+        .select("id", F.col("alltime_community").alias("community"))
+    )
+    # existing all-time vertices keep their assignment
+    new_only = relabeled.join(alltime_assign.select("id"), "id", "left_anti")
+    merged = alltime_assign.select("id", "community").unionByName(new_only)
+    d_cent.unpersist()
+    a_cent.unpersist()
+    return merged

@@ -1,0 +1,81 @@
+"""Physical-plan quality gates: pushdown, pruning, broadcast, codegen.
+
+These assert the *plans* the engine produces, not just results — a scan
+that reads all columns for a 2-column projection, or a dict join that
+shuffles instead of broadcasting, is a perf bug at 100TB even when the
+answer is right.
+"""
+
+import re
+
+from pyspark.sql import functions as F
+
+from louvain_spark.operators.induce import cooccurrence_edges, entity_vertices, membership
+from louvain_spark.sources.tables import load
+from louvain_spark.synth import transcripts_df
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = load(spark, SF, "orders").where(F.col("o_totalprice") > 1000.0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters: \[.*GreaterThan\(o_totalprice", plan), plan
+
+
+def test_column_pruning_reaches_parquet(spark):
+    df = load(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_dictionary_join_broadcasts(spark):
+    """The membership→id dictionary join must be a broadcast, not a
+    shuffle: the entity dictionary is tiny relative to the turn table."""
+    t = transcripts_df(spark, preset="tiny")
+    mem = membership(t)
+    verts = entity_vertices(mem)
+    joined = mem.join(
+        F.broadcast(verts.select(F.col("name").alias("entity"), "id")), "entity"
+    )
+    plan = _plan(joined)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_cooccurrence_plan_has_partial_aggregation(spark):
+    """The final pair-count groupBy must show a partial (map-side) agg
+    before the exchange — the skew-resistance property the induction
+    relies on (SURVEY.md §4.3)."""
+    t = transcripts_df(spark, preset="tiny")
+    _, edges = cooccurrence_edges(t, window=4)
+    plan = _plan(edges)
+    assert "HashAggregate" in plan
+    # partial_count/partial aggregation markers appear in formatted plans
+    assert re.search(r"partial_count|Partial", plan), plan
+
+
+def test_whole_stage_codegen_on_relational(spark):
+    df = (
+        load(spark, SF, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"))
+    )
+    # AQE finalizes the physical plan only at execution: run the query,
+    # then assert the executed adaptive plan ran inside codegen stages
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' is the WholeStageCodegen stage marker in executed-plan strings
+    assert re.search(r"\*\(\d+\)", plan), plan[:600]
+    assert "isFinalPlan=true" in plan

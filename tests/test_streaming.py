@@ -1,0 +1,74 @@
+"""Incremental merge (daily→all-time) + streaming ingestion equivalence."""
+
+from pyspark.sql import functions as F
+
+from louvain_spark.operators.induce import cooccurrence_edges
+from louvain_spark.streaming.incremental import cluster_centroids, migrate
+from louvain_spark.streaming.ingest import compact_increments, stream_edge_increments
+from louvain_spark.synth import transcripts_df
+
+
+def test_migrate_matches_and_relabels(spark):
+    # all-time: cluster 0 = "alpha"-docs; daily: cluster 0 = "alpha"-docs
+    # (should match → relabel to 0), cluster 1 = novel docs (fresh id)
+    at_assign = spark.createDataFrame([(1, 0), (2, 0), (3, 5)], "id long, community long")
+    at_attrs = spark.createDataFrame(
+        [(1, "alpha bravo charlie"), (2, "alpha bravo delta"), (3, "zulu yankee xray")],
+        "id long, text string",
+    )
+    d_assign = spark.createDataFrame([(10, 0), (11, 0), (12, 1), (13, 1)], "id long, community long")
+    d_attrs = spark.createDataFrame(
+        [(10, "alpha bravo charlie"), (11, "alpha bravo delta"),
+         (12, "totally novel words here"), (13, "totally novel words there")],
+        "id long, text string",
+    )
+    merged = migrate(spark, d_assign, d_attrs, at_assign, at_attrs)
+    got = {r["id"]: r["community"] for r in merged.collect()}
+    # all-time nodes unchanged
+    assert got[1] == 0 and got[2] == 0 and got[3] == 5
+    # matched daily cluster relabeled to all-time 0
+    assert got[10] == 0 and got[11] == 0
+    # unmatched daily cluster got a fresh id above all-time max (5)
+    assert got[12] == got[13] and got[12] > 5
+
+
+def test_migrate_existing_vertices_keep_assignment(spark):
+    at_assign = spark.createDataFrame([(1, 0)], "id long, community long")
+    at_attrs = spark.createDataFrame([(1, "alpha")], "id long, text string")
+    d_assign = spark.createDataFrame([(1, 7)], "id long, community long")
+    d_attrs = spark.createDataFrame([(1, "alpha")], "id long, text string")
+    merged = migrate(spark, d_assign, d_attrs, at_assign, at_attrs)
+    assert {r["id"]: r["community"] for r in merged.collect()} == {1: 0}
+
+
+def test_centroids_unit_norm(spark):
+    assign = spark.createDataFrame([(1, 0), (2, 0)], "id long, community long")
+    attrs = spark.createDataFrame([(1, "hello world"), (2, "hello spark")], "id long, text string")
+    import numpy as np
+
+    rows = cluster_centroids(assign, attrs, dim=16).collect()
+    v = np.array(rows[0]["centroid"])
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+
+
+def test_stream_ingestion_equals_batch(spark, tmp_path):
+    """availableNow file stream over transcript chunks == batch induction."""
+    t = transcripts_df(spark, n_conv=30, seed=5)
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # one file per conv group → convs never span micro-batches
+    t.repartition("conv_id").write.mode("overwrite").parquet(in_dir)
+
+    q = stream_edge_increments(spark, in_dir, out_dir, ckpt, window=4)
+    q.awaitTermination(120)
+
+    verts_s, edges_s = compact_increments(spark, out_dir)
+    verts_b, edges_b = cooccurrence_edges(t, window=4)
+
+    vs = {(r["id"], r["name"]) for r in verts_s.collect()}
+    vb = {(r["id"], r["name"]) for r in verts_b.collect()}
+    assert vs == vb
+    es = {(r["src"], r["dst"]): (r["weight"], tuple(r["etypes"])) for r in edges_s.collect()}
+    eb = {(r["src"], r["dst"]): (r["weight"], tuple(r["etypes"])) for r in edges_b.collect()}
+    assert es == eb
