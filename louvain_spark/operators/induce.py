@@ -74,20 +74,45 @@ def membership(
     )
 
 
-def entity_vertices(mem: DataFrame) -> DataFrame:
+def entity_vertices(mem: DataFrame, rank_partitions: int = 64) -> DataFrame:
     """Distinct entities with stable dense ids (sorted-name rank, 0-based).
 
-    Deterministic and cluster-size-independent; the sort runs over the
-    entity dictionary only. At truly extreme dictionary sizes swap in a
-    two-phase range-partitioned rank — semantics identical.
+    Two-phase distributed rank: range-partition by name, rank within each
+    partition, add per-partition offsets (one tiny collect). Produces
+    exactly the global-sort rank — range partitions are disjoint and
+    ordered — without a single-partition window, which would serialize on
+    one task at large dictionary sizes. Deterministic and
+    cluster-size-independent (never monotonically_increasing_id).
     """
     ents = mem.select("entity", "etype").distinct()
-    w = Window.orderBy("entity")
-    return ents.select(
-        (F.row_number().over(w) - 1).cast("long").alias("id"),
+    parts = (
+        ents.repartitionByRange(rank_partitions, "entity")
+        .sortWithinPartitions("entity")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr = F.lit(0)
+    for pid, off in offsets.items():
+        if off:
+            off_expr = F.when(F.col("_pid") == pid, F.lit(off)).otherwise(off_expr)
+    w = Window.partitionBy("_pid").orderBy("entity")
+    out = parts.select(
+        (F.row_number().over(w) - 1 + off_expr).cast("long").alias("id"),
         F.col("entity").alias("name"),
         F.col("etype").alias("vtype"),
     )
+    out = out.localCheckpoint(eager=True)
+    parts.unpersist()
+    return out
 
 
 def _with_ids(mem: DataFrame, vertices: DataFrame) -> DataFrame:
@@ -118,7 +143,7 @@ def cooccurrence_edges(
     mem = membership(transcripts, include_conv, include_role, include_tool)
     if vertices is None:
         vertices = entity_vertices(mem)
-    m = _with_ids(mem, vertices).select("conv_id", "turn_idx", "id", "vtype")
+    m = _with_ids(mem, vertices).select("conv_id", "turn_idx", "id")
 
     if window is None:
         a = m.alias("a")
@@ -144,21 +169,38 @@ def cooccurrence_edges(
         F.col("a.id").alias("src"),
         F.col("b.id").alias("dst"),
         F.col("a.conv_id").alias("conv_id"),
-        F.col("a.vtype").alias("st"),
-        F.col("b.vtype").alias("dt"),
     )
     # distinct on (src,dst,conv) carries conv_id in the shuffle key → no hot
-    # key; the final count has map-side combine. etypes = sorted distinct
-    # endpoint types, as the reference collects rel types
-    # (/root/reference/tool/Neo4jLouvainProcessor.py:202-203).
-    per_conv = proj.groupBy("src", "dst", "conv_id").agg(
-        F.collect_set("st").alias("sts"), F.collect_set("dt").alias("dts")
+    # key; the final count has map-side combine. etypes (the reference's
+    # COLLECT(DISTINCT type(r)), /root/reference/tool/Neo4jLouvainProcessor.py:202-203)
+    # are pure functions of the endpoint vertices in this model, so they
+    # attach via two broadcast dictionary joins AFTER the wide aggregation
+    # instead of dragging two string columns through the pair shuffle.
+    per_conv = proj.distinct()
+    counts = per_conv.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("double").alias("weight")
     )
-    edges = per_conv.groupBy("src", "dst").agg(
-        F.count(F.lit(1)).cast("double").alias("weight"),
-        F.array_sort(
-            F.array_distinct(F.flatten(F.collect_list(F.concat("sts", "dts"))))
-        ).alias("etypes"),
+    # vtype is an id-RANGE: ids are dense ranks over entity names and the
+    # name prefix is the vtype ('conv:' < 'role:' < 'tool:' sorts by type),
+    # so three boundary scalars replace two more 400k-row broadcast builds
+    bounds = {
+        r["vtype"]: (r["lo"], r["hi"])
+        for r in vertices.groupBy("vtype")
+        .agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+        .collect()
+    }
+
+    def _vt(col):
+        expr = F.lit(None).cast("string")
+        for vt, (lo, hi) in bounds.items():
+            expr = F.when(F.col(col).between(lo, hi), F.lit(vt)).otherwise(expr)
+        return expr
+
+    edges = counts.select(
+        "src",
+        "dst",
+        "weight",
+        F.array_sort(F.array_distinct(F.array(_vt("src"), _vt("dst")))).alias("etypes"),
     )
     return vertices, edges
 

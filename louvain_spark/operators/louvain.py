@@ -19,14 +19,17 @@ Two local-move modes:
   geometrically, at 100TB scale you run level 0 in parallel mode and
   switch to exact once the level graph fits one block.
 
-- mode='parallel': synchronous partition-parallel local moves expressed as
-  DataFrame joins/aggregations: per sweep, each active node evaluates the
-  python-louvain gain against broadcast community aggregates (Σ_tot) and
-  moves to the argmax community (tie-break min community id). Nodes are
-  2-colored by hash and alternate sweeps to break move symmetry; sweeps
-  stop when a full color cycle moves nothing. Validated on modularity
-  (allclose vs oracle on order-invariant graphs) rather than exact
-  partition, which is order-dependent by nature.
+- mode='parallel': Grappolo-style block-parallel local moves: nodes are
+  hash-partitioned into blocks sized to the graph (coarse levels collapse
+  to one block → sequential convergence); each sweep ships every block its
+  adjacency tagged with a sweep-start snapshot of assignments and Σ_tot,
+  and the block kernel runs sequential python-louvain moves to in-block
+  fixpoint, tracking local Σ_tot deltas. Sweep 0 activates all nodes
+  (bulk consolidation); later sweeps activate a deterministic
+  pseudo-random half to damp cross-block swap cycles; the loop stops when
+  a sweep moves <1% of nodes. Validated on modularity (allclose vs oracle
+  on order-invariant graphs) rather than exact partition, which is
+  order-dependent by nature.
 
 Level loop (both modes): renumber communities by first appearance over
 ascending node order → coarsen groupBy(min(c_src,c_dst), max(...)).sum(w)
@@ -451,9 +454,26 @@ def louvain(
     # level boundaries are natural checkpoints: cut lineage so each level's
     # sweeps replan against a flat, materialized graph
     cur_edges = _stats_reset(spark, _coarsen(e, mapping), ckpt_base, "edges-l1")
-    cur_ids = mapping.select(F.col("community").alias("id")).distinct().localCheckpoint(eager=True)
+    mapping, mod = _level_loop(
+        spark, one_level, runner, ckpt_base, mapping, mod, cur_edges,
+        start_level=1, max_levels=max_levels, resolution=resolution,
+        seed=seed, min_gain=min_gain,
+    )
+    ids.unpersist()
+    return mapping, float(mod)
 
-    for level in range(1, max_levels):
+
+def _level_loop(
+    spark, one_level, runner, ckpt_base, mapping, mod, cur_edges,
+    start_level, max_levels, resolution, seed, min_gain,
+):
+    """Dendrogram levels ≥ 1 (shared by louvain() and resume_louvain())."""
+    for level in range(start_level, max_levels):
+        cur_ids = (
+            mapping.select(F.col("community").alias("id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
         assign, new_mod = one_level(spark, cur_edges, cur_ids, resolution, seed, level)
         if new_mod - mod < min_gain:
             break
@@ -470,7 +490,56 @@ def louvain(
         cur_edges = _stats_reset(
             spark, _coarsen(cur_edges, assign), ckpt_base, f"edges-l{level + 1}"
         )
-        cur_ids = assign.select(F.col("community").alias("id")).distinct().localCheckpoint(eager=True)
-
-    ids.unpersist()
     return mapping, float(mod)
+
+
+def resume_louvain(
+    spark: SparkSession,
+    run_id: str,
+    checkpoint_dir: str,
+    resolution: float = 1.0,
+    seed: int = 42,
+    mode: str = "exact",
+    min_gain: float = MIN_GAIN,
+    max_levels: int = 32,
+    parallel_opts: dict | None = None,
+) -> tuple[DataFrame, float]:
+    """Continue a Louvain run from its durable checkpoints (north_rule:
+    resumable mid-iteration). Each completed dendrogram level is a
+    superstep in the run ledger; the original normalized edge table is at
+    <dir>/edges-l0, so the next level's graph is recomputed as
+    coarsen(edges-l0, mapping) regardless of where the run died.
+    Idempotent on completed runs (re-checks the last level and stops).
+    """
+    import os as _os
+
+    runner, mapping, step = SuperstepRunner.resume(
+        spark, run_id, f"louvain-{mode}", checkpoint_dir
+    )
+    if mapping is None:
+        raise ValueError(f"no louvain checkpoint for run_id={run_id} in {checkpoint_dir}")
+    ledger = spark.read.parquet(runner.ledger_path)
+    mod = (
+        ledger.where(
+            (F.col("run_id") == run_id) & (F.col("superstep") == step)
+        )
+        .select("metric")
+        .first()[0]
+    )
+    e0 = spark.read.parquet(_os.path.join(checkpoint_dir, "edges-l0"))
+    cur_edges = _stats_reset(
+        spark, _coarsen(e0, mapping), checkpoint_dir, f"edges-l{step + 1}"
+    )
+    if mode == "exact":
+        one_level = _one_level_exact
+    else:
+        def one_level(spark, e, ids, resolution, seed, level):
+            return _one_level_parallel(
+                spark, e, ids, resolution, seed, level,
+                ckpt_dir=checkpoint_dir, **(parallel_opts or {}),
+            )
+    return _level_loop(
+        spark, one_level, runner, checkpoint_dir, mapping, float(mod), cur_edges,
+        start_level=step + 1, max_levels=max_levels, resolution=resolution,
+        seed=seed, min_gain=min_gain,
+    )

@@ -30,6 +30,13 @@ DEFAULT_CONF = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
+    # shuffle/spill files on tmpfs when available: the sandbox's /tmp is a
+    # virtual disk whose I/O serializes shuffle-heavy stages (on a real
+    # cluster this is local NVMe per executor)
+    "spark.local.dir": os.environ.get(
+        "SPARK_GRAFT_LOCAL_DIR",
+        "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+    ),
     "spark.sql.session.timeZone": "UTC",
 }
 

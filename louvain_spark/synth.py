@@ -31,6 +31,9 @@ PRESETS = {
     "tiny": dict(n_conv=20, seed=42),
     "small": dict(n_conv=2000, seed=42),
     "bench": dict(n_conv=50000, seed=42),
+    # scaling-evidence preset: big enough that per-task compute dominates
+    # fixed scheduling overhead, so core-count scaling is measurable
+    "scale": dict(n_conv=400000, seed=42),
 }
 
 
