@@ -133,3 +133,118 @@ def one_level_csr(
             remap[c] = len(remap)
         out[i] = remap[c]
     return out, new_mod
+
+
+def block_local_moves(
+    src: np.ndarray,
+    dst: np.ndarray,
+    w: np.ndarray,
+    cu: np.ndarray,
+    cd: np.ndarray,
+    k: np.ndarray,
+    tot_cu: np.ndarray,
+    tot_cd: np.ndarray,
+    resolution: float,
+    m: float,
+    seed: int,
+    level: int,
+    sweep: int,
+    block: int,
+    n_blocks: int,
+    max_passes: int = 10,
+) -> tuple[np.ndarray, np.ndarray]:
+    """One block's local-move phase for parallel Louvain (Grappolo-style).
+
+    Inputs are one row per symmetric edge whose src is in this block:
+    src/dst global vertex ids, w edge weight, cu/cd sweep-start community
+    snapshots of the endpoints, k = src degree-strength, tot_cu/tot_cd =
+    sweep-start Σ_tot of the endpoint communities. Ghost neighbors (dst not
+    in the block) keep their snapshot community; block-internal neighbors
+    see in-block updates. Σ_tot is tracked as snapshot + local delta, the
+    cross-block reconciliation happening at the next sweep's refresh.
+
+    Same CSR + per-node numpy construction as one_level_csr (the exact
+    kernel): candidates scanned in ascending community order, strict '>'
+    improvement, first max wins. Runs to in-block fixpoint (≤ max_passes).
+    Returns (moved vertex ids, their new global community labels).
+    """
+    verts = np.unique(np.concatenate([src, dst]))
+    nv = len(verts)
+    su = np.searchsorted(verts, src)
+    sv = np.searchsorted(verts, dst)
+
+    com_g = np.empty(nv, dtype=np.int64)
+    com_g[sv] = cd
+    com_g[su] = cu
+    k_v = np.zeros(nv, dtype=np.float64)
+    k_v[su] = k
+
+    # compact community universe: nodes only ever move to a NEIGHBOR's
+    # community, so every reachable label is already in {cu} ∪ {cd}
+    univ = np.unique(np.concatenate([cu, cd]))
+    tot = np.zeros(len(univ), dtype=np.float64)
+    tot[np.searchsorted(univ, cu)] = tot_cu
+    tot[np.searchsorted(univ, cd)] = tot_cd
+    comc = np.searchsorted(univ, com_g)
+    init_comc = comc.copy()
+
+    # CSR over the block's adjacency (src is always a block node)
+    order = np.argsort(su, kind="stable")
+    tails = sv[order]
+    hw = np.asarray(w, dtype=np.float64)[order]
+    indptr = np.zeros(nv + 1, dtype=np.int64)
+    np.add.at(indptr, su + 1, 1)
+    indptr = np.cumsum(indptr)
+
+    act_pos = np.unique(su)
+    if n_blocks > 1 and sweep > 0:
+        # cross-block swap cycles (u⇄v trading communities every sweep)
+        # never damp on their own: after the all-active consolidation
+        # sweep 0, activate a deterministic pseudo-random half per sweep
+        ids_u = verts[act_pos].astype(np.uint64)
+        parity = (
+            (ids_u * np.uint64(2654435761) + np.uint64(sweep * 40503))
+            % np.uint64(2**32)
+        ) >> np.uint64(16)
+        act_pos = act_pos[(parity & np.uint64(1)) == 0]
+    rng = np.random.RandomState(
+        (seed + 1000003 * level + 7919 * sweep + 104729 * block) % (2**32)
+    )
+    act_pos = act_pos.copy()
+    two_m = 2.0 * m
+
+    for _ in range(max_passes):
+        rng.shuffle(act_pos)
+        pass_moved = 0
+        for u in act_pos:
+            cu_i = comc[u]
+            ku = k_v[u]
+            lo, hi = indptr[u], indptr[u + 1]
+            nbr_coms = comc[tails[lo:hi]]
+            nw = hw[lo:hi]
+            cands, inv = np.unique(nbr_coms, return_inverse=True)
+            dnc = np.zeros(len(cands))
+            np.add.at(dnc, inv, nw)
+            degc = ku / two_m
+            pos_u = np.searchsorted(cands, cu_i)
+            own_dnc = (
+                dnc[pos_u] if pos_u < len(cands) and cands[pos_u] == cu_i else 0.0
+            )
+            remove_cost = -own_dnc + resolution * (tot[cu_i] - ku) * degc
+            tot[cu_i] -= ku
+            incr = remove_cost + dnc - resolution * tot[cands] * degc
+            best_com = cu_i
+            if len(incr):
+                p = np.argmax(incr)
+                if incr[p] > 0.0:
+                    # strict '>' with ascending-com scan ⇒ first max wins
+                    best_com = int(cands[np.flatnonzero(incr == incr[p])[0]])
+            tot[best_com] += ku
+            if best_com != cu_i:
+                comc[u] = best_com
+                pass_moved += 1
+        if pass_moved == 0:
+            break
+
+    ch = np.flatnonzero(comc != init_comc)
+    return verts[ch], univ[comc[ch]]

@@ -10,7 +10,7 @@ networkx.connected_components (SURVEY.md §2.8).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from louvain_spark.operators.graph import canonicalize, checksum, symmetrize, vertex_ids
@@ -66,9 +66,19 @@ def connected_components(
         cur = runner.advance(StepResult(cur))
     prev_sig = checksum(cur, "src", "dst")
     for _ in range(max_iter):
-        nxt = _small_star(_large_star(cur))
+        # fixpoint checksum rides the checkpoint action as observed
+        # metrics — one Spark job per superstep, no re-scan
+        obs = Observation()
+        nxt = _small_star(_large_star(cur)).observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        )
         nxt = runner.advance(StepResult(nxt))
-        sig = checksum(nxt, "src", "dst")
+        vals = obs.get
+        sig = (int(vals["n"]), int(vals["h"]))
         cur = nxt
         if sig == prev_sig:
             break

@@ -77,42 +77,16 @@ def membership(
 def entity_vertices(mem: DataFrame, rank_partitions: int = 64) -> DataFrame:
     """Distinct entities with stable dense ids (sorted-name rank, 0-based).
 
-    Two-phase distributed rank: range-partition by name, rank within each
-    partition, add per-partition offsets (one tiny collect). Produces
-    exactly the global-sort rank — range partitions are disjoint and
-    ordered — without a single-partition window, which would serialize on
-    one task at large dictionary sizes. Deterministic and
+    Uses the shared two-phase distributed rank (plans/rank.py) — exactly
+    the global-sort rank, no single-partition window. Deterministic and
     cluster-size-independent (never monotonically_increasing_id).
     """
+    from louvain_spark.plans.rank import dense_sorted_rank
+
     ents = mem.select("entity", "etype").distinct()
-    parts = (
-        ents.repartitionByRange(rank_partitions, "entity")
-        .sortWithinPartitions("entity")
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
+    return dense_sorted_rank(ents, "entity", partitions=rank_partitions).select(
+        "id", F.col("entity").alias("name"), F.col("etype").alias("vtype")
     )
-    counts = {
-        r["_pid"]: r["cnt"]
-        for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
-    offsets = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_expr = F.lit(0)
-    for pid, off in offsets.items():
-        if off:
-            off_expr = F.when(F.col("_pid") == pid, F.lit(off)).otherwise(off_expr)
-    w = Window.partitionBy("_pid").orderBy("entity")
-    out = parts.select(
-        (F.row_number().over(w) - 1 + off_expr).cast("long").alias("id"),
-        F.col("entity").alias("name"),
-        F.col("etype").alias("vtype"),
-    )
-    out = out.localCheckpoint(eager=True)
-    parts.unpersist()
-    return out
 
 
 def _with_ids(mem: DataFrame, vertices: DataFrame) -> DataFrame:

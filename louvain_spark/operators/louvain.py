@@ -43,10 +43,14 @@ import os
 import pandas as pd
 
 _DBG = bool(os.environ.get("LOUVAIN_DEBUG"))
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
-from louvain_spark.operators._louvain_kernel import MIN_GAIN, one_level_csr
+from louvain_spark.operators._louvain_kernel import (
+    MIN_GAIN,
+    block_local_moves,
+    one_level_csr,
+)
 from louvain_spark.operators.graph import vertex_ids
 from louvain_spark.plans.loop import StepResult, SuperstepRunner
 
@@ -142,7 +146,10 @@ def _one_level_exact(
         .persist()
     )
     mod = out.select("_mod").first()[0]
-    assign = out.select("id", "community")
+    # the caller's checkpoint/advance cuts lineage — safe to free the cache
+    # immediately (cached blocks otherwise accumulate across levels/resumes)
+    assign = out.select("id", "community").localCheckpoint(eager=True)
+    out.unpersist()
     return assign, float(mod)
 
 
@@ -167,11 +174,12 @@ def _one_level_parallel(
 
     Nodes are hash-partitioned into blocks; each sweep ships every block its
     nodes' full adjacency tagged with a sweep-start snapshot of community
-    assignments and Σ_tot aggregates, and the block kernel runs *sequential*
-    python-louvain moves to in-block fixpoint (vectorized numpy per node),
-    tracking local Σ_tot deltas. Cross-block state refreshes between sweeps;
-    sweeps stop when nothing moves. Order-dependent (as all parallel Louvain
-    is) — validated on modularity + order-invariant graphs.
+    assignments and Σ_tot aggregates, and the block kernel
+    (_louvain_kernel.block_local_moves — the same CSR/numpy construction as
+    the exact kernel) runs sequential python-louvain moves to in-block
+    fixpoint, tracking local Σ_tot deltas. Cross-block state refreshes
+    between sweeps; sweeps stop when nothing moves. Order-dependent (as all
+    parallel Louvain is) — validated on modularity + order-invariant graphs.
     """
     from louvain_spark.operators.quality import modularity as q_mod
 
@@ -234,90 +242,32 @@ def _one_level_parallel(
 
             _kt0 = _time.monotonic()
 
-        u_arr = pdf["src"].to_numpy()
-        v_arr = pdf["dst"].to_numpy()
-        w_arr = pdf["w"].to_numpy(dtype=np.float64)
-        cu_arr = pdf["cu"].to_numpy()
-        cv_arr = pdf["cd"].to_numpy()
-        k_arr = pdf["k"].to_numpy(dtype=np.float64)
-        sw_arr = pdf["self_w"].to_numpy(dtype=np.float64)
-        tot_cu = pdf["tot_cu"].to_numpy(dtype=np.float64)
-        tot_cd = pdf["tot_cd"].to_numpy(dtype=np.float64)
-        block = int(pdf["_blk"].iloc[0])
-        sweep = int(pdf["_sweep"].iloc[0])
-
-        # snapshot Σ_tot for every community seen in this block
-        base_tot: dict[int, float] = {}
-        for c, t in zip(cu_arr, tot_cu):
-            base_tot[int(c)] = float(t)
-        for c, t in zip(cv_arr, tot_cd):
-            base_tot[int(c)] = float(t)
-        tot_delta: dict[int, float] = {}
-        com_local: dict[int, int] = {}  # node → locally updated community
-        node_k: dict[int, float] = {}
-        node_sw: dict[int, float] = {}
-        node_com: dict[int, int] = {}
-        adj: dict[int, list[tuple[int, float]]] = {}
-        for u, v, wv, cu, kk, swv in zip(u_arr, v_arr, w_arr, cu_arr, k_arr, sw_arr):
-            u = int(u)
-            adj.setdefault(u, []).append((int(v), float(wv)))
-            node_k[u] = float(kk)
-            node_sw[u] = float(swv)
-            node_com[u] = int(cu)
-        nbr_com0 = {int(v): int(c) for v, c in zip(v_arr, cv_arr)}
-
-        def tot_of(c: int) -> float:
-            return base_tot.get(c, 0.0) + tot_delta.get(c, 0.0)
-
-        nodes = np.array(sorted(adj.keys()), dtype=np.int64)
-        if n_blocks > 1 and sweep > 0:
-            # cross-block swap cycles (u⇄v in different blocks trading
-            # communities every sweep) never damp on their own: after the
-            # all-active consolidation sweep 0, activate a deterministic
-            # pseudo-random half of the nodes per sweep
-            parity = ((nodes * 2654435761 + sweep * 40503) % (2**32)) >> 16
-            nodes = nodes[(parity & 1) == 0]
-        rng = np.random.RandomState(
-            (sd + 1000003 * lvl + 7919 * sweep + 104729 * block) % (2**32)
+        moved_ids, new_coms = block_local_moves(
+            pdf["src"].to_numpy(),
+            pdf["dst"].to_numpy(),
+            pdf["w"].to_numpy(dtype=np.float64),
+            pdf["cu"].to_numpy(),
+            pdf["cd"].to_numpy(),
+            pdf["k"].to_numpy(dtype=np.float64),
+            pdf["tot_cu"].to_numpy(dtype=np.float64),
+            pdf["tot_cd"].to_numpy(dtype=np.float64),
+            res,
+            mm,
+            sd,
+            lvl,
+            int(pdf["_sweep"].iloc[0]),
+            int(pdf["_blk"].iloc[0]),
+            n_blocks,
         )
-        moved_rows = []
-        for _pass in range(10):
-            rng.shuffle(nodes)
-            pass_moved = 0
-            for u in nodes:
-                u = int(u)
-                cu = com_local.get(u, node_com[u])
-                ku = node_k[u]
-                degc = ku / (2.0 * mm)
-                neigh: dict[int, float] = {}
-                for v, wv in adj[u]:
-                    cv = com_local.get(v, nbr_com0.get(v, v))
-                    neigh[cv] = neigh.get(cv, 0.0) + wv
-                own_dnc = neigh.get(cu, 0.0)
-                remove_cost = -own_dnc + res * (tot_of(cu) - ku) * degc
-                tot_delta[cu] = tot_delta.get(cu, 0.0) - ku
-                best_com, best_incr = cu, 0.0
-                for c in sorted(neigh):
-                    incr = remove_cost + neigh[c] - res * tot_of(c) * degc
-                    if incr > best_incr:
-                        best_incr, best_com = incr, c
-                tot_delta[best_com] = tot_delta.get(best_com, 0.0) + ku
-                if best_com != cu:
-                    com_local[u] = best_com
-                    pass_moved += 1
-            if pass_moved == 0:
-                break
-        for u, c in com_local.items():
-            if c != node_com[u]:
-                moved_rows.append((u, c))
         if _DBG:
             print(
-                f"[kernel] blk={block} sweep={sweep} rows={len(pdf)} nodes={len(adj)}"
+                f"[kernel] blk={int(pdf['_blk'].iloc[0])} sweep={int(pdf['_sweep'].iloc[0])}"
+                f" rows={len(pdf)} moved={len(moved_ids)}"
                 f" wall={_time.monotonic() - _kt0:.2f}s",
                 file=_sys.stderr,
                 flush=True,
             )
-        return pd.DataFrame(moved_rows, columns=["id", "new_com"]).astype("int64")
+        return pd.DataFrame({"id": moved_ids, "new_com": new_coms}).astype("int64")
 
     for sweep in range(max_sweeps):
         if _DBG:
@@ -345,7 +295,7 @@ def _one_level_parallel(
         tagged = (
             sym.join(a_dst, "dst")
             .join(a_src, "src")
-            .join(k.select(F.col("id").alias("src"), "k", "self_w"), "src")
+            .join(k.select(F.col("id").alias("src"), "k"), "src")
             .join(tot.select(F.col("community").alias("cd"), F.col("tot").alias("tot_cd")), "cd")
             .join(tot.select(F.col("community").alias("cu"), F.col("tot").alias("tot_cu")), "cu")
             .withColumn("_blk", F.pmod(F.xxhash64("src"), F.lit(n_blocks)).cast("int"))
@@ -354,11 +304,15 @@ def _one_level_parallel(
         moved_df = tagged.groupBy("_blk").applyInPandas(
             kernel, "id long, new_com long"
         )
+        # moved-count piggybacks on the checkpoint write (one job per sweep,
+        # not two)
+        obs = Observation()
+        moved_df = moved_df.observe(obs, F.count(F.lit(1)).alias("n"))
         # parquet roundtrip = durable sweep checkpoint + stats reset (see
         # _stats_reset): moved_df otherwise carries the product-of-joins
         # size estimate into next sweep's assign, compounding exponentially
         moved_df = _stats_reset(spark, moved_df, ckpt_dir, f"moved-l{level}-s{sweep}")
-        moved = moved_df.count()
+        moved = int(obs.get["n"])
         _mark("kernel+count")
         if _DBG:
             qe = assign._jdf.queryExecution()

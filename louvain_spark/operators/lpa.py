@@ -11,7 +11,7 @@ tie-break (tests/).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from louvain_spark.operators.graph import symmetrize, vertex_ids
@@ -57,8 +57,17 @@ def label_propagation(
             "id", F.coalesce("new_label", "community").alias("community"),
             (F.coalesce("new_label", "community") != F.col("community")).alias("_moved"),
         )
-        moved = new_labels.where("_moved").count()
-        labels = runner.advance(StepResult(new_labels.select("id", "community"), moved=moved))
+        # moved-count rides the checkpoint action — one job per superstep
+        obs = Observation()
+        observed = new_labels.observe(
+            obs, F.coalesce(F.sum(F.col("_moved").cast("long")), F.lit(0)).alias("moved")
+        )
+        labels = runner.advance(
+            StepResult(
+                observed.select("id", "community"), observation=obs, moved_key="moved"
+            )
+        )
+        moved = int(obs.get["moved"])
         if moved == 0:
             break
     adj.unpersist()

@@ -3,17 +3,18 @@
 ranks init 1/N; per superstep: contribs = edges ⋈ ranks on src →
 rank·w/out_strength per dst → groupBy(dst).sum; damping
 (1-d)/N + d·(contribs + dangling_mass/N); iterate until L∞ < tol.
-Dangling mass handled via one scalar aggregation per superstep.
 Oracle: numpy power iteration, allclose 1e-6 (BASELINE.md).
 
 Scale notes: ranks and out-strengths are (id, value) tables shuffled on
 id; the contrib join is the only wide op per superstep and AQE's skew
-split covers hot dst ids. Convergence scalar = one tiny agg per step.
+split covers hot dst ids. The convergence scalars (L∞ delta, dangling
+mass) are observed metrics on the checkpoint action — one Spark job per
+superstep total, so per-superstep fixed cost stays flat as cores grow.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from louvain_spark.operators.graph import symmetrize, vertex_ids
@@ -41,9 +42,10 @@ def pagerank(
         if directed
         else symmetrize(edges.select("src", "dst", w.cast("double").alias("w")), "w")
     )
-    ids = vertex_ids(edges, vertices)
+    ids = vertex_ids(edges, vertices).persist()
     n = ids.count()
     if n == 0:
+        ids.unpersist()
         return spark.createDataFrame([], "id long, score double")
 
     out_strength = adj.groupBy("src").agg(F.sum("w").alias("out_w"))
@@ -71,29 +73,39 @@ def pagerank(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("frac") * F.col("score")).alias("c"))
         )
-        new_ranks = ids.join(contribs, "id", "left").select(
-            "id",
-            (
-                F.lit((1.0 - damping) / n)
-                + F.lit(damping) * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n))
-            ).alias("score"),
-        )
-        # one scalar job per superstep: L∞ delta + next step's dangling mass
-        new_ranks = runner.advance(StepResult(new_ranks))
-        stats = (
-            new_ranks.join(ranks.withColumnRenamed("score", "old"), "id")
+        scored = (
+            ids.join(contribs, "id", "left")
+            .join(ranks.withColumnRenamed("score", "old"), "id")
             .join(dangle_ids.select("id", "_dangling"), "id", "left")
-            .agg(
-                F.max(F.abs(F.col("score") - F.col("old"))).alias("delta"),
-                F.coalesce(
-                    F.sum(F.when(F.col("_dangling"), F.col("score"))), F.lit(0.0)
-                ).alias("dangling"),
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("score"),
+                "old",
+                "_dangling",
             )
-            .collect()[0]
         )
+        # convergence scalars (L∞ delta + next step's dangling mass) ride
+        # the checkpoint action as observed metrics — ONE job per superstep
+        obs = Observation()
+        new_ranks = scored.observe(
+            obs,
+            F.max(F.abs(F.col("score") - F.col("old"))).alias("delta"),
+            F.coalesce(
+                F.sum(F.when(F.col("_dangling"), F.col("score"))), F.lit(0.0)
+            ).alias("dangling"),
+        ).select("id", "score")
+        new_ranks = runner.advance(
+            StepResult(new_ranks, observation=obs, metric_key="delta")
+        )
+        stats = obs.get
         delta, dangling = float(stats["delta"]), float(stats["dangling"])
         ranks = new_ranks
         if delta < tol:
             break
     frac.unpersist()
+    ids.unpersist()
     return ranks

@@ -19,9 +19,7 @@ import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-
-from louvain_spark.schema import LEDGER
+from pyspark.sql import functions as F  # noqa: F401 (used in resume)
 
 
 @dataclass
@@ -29,6 +27,12 @@ class StepResult:
     state: DataFrame
     moved: int | None = None  # convergence counter (labels changed, etc.)
     metric: float | None = None  # operator metric (modularity, L∞ delta, …)
+    # observed metrics attached to the state plan (DataFrame.observe): they
+    # materialize during advance()'s checkpoint action, so counters reach
+    # the ledger without a second scan job
+    observation: object | None = None  # pyspark.sql.Observation
+    moved_key: str | None = None
+    metric_key: str | None = None
 
 
 class SuperstepRunner:
@@ -62,36 +66,72 @@ class SuperstepRunner:
             return None
         return os.path.join(self.checkpoint_dir, "_ledger")
 
+    @staticmethod
+    def _partition_rows(ckpt_path: str) -> list[tuple[int, int]]:
+        """(partition_id, rows) per part file of a parquet checkpoint —
+        read from the footers the checkpoint write just produced, so the
+        per-partition ledger costs zero extra Spark jobs."""
+        import pyarrow.parquet as pq
+
+        out: list[tuple[int, int]] = []
+        for fname in sorted(os.listdir(ckpt_path)):
+            if not fname.endswith(".parquet") or fname.startswith("_"):
+                continue
+            pid = (
+                int(fname.split("-")[1])
+                if fname.startswith("part-")
+                else len(out)
+            )
+            out.append(
+                (pid, pq.ParquetFile(os.path.join(ckpt_path, fname)).metadata.num_rows)
+            )
+        return out or [(-1, 0)]
+
     def _append_ledger(
         self,
-        state: DataFrame,
         superstep: int,
         moved: int | None,
         metric: float | None,
         wall_ms: int,
         ckpt_path: str | None,
     ) -> None:
+        """Append ledger rows driver-side (pyarrow, no Spark job).
+
+        Parquet-checkpointed steps get one row per checkpoint partition
+        (lineage for resume); localCheckpoint-only steps get a single
+        summary row with partition_id = -1 (they are not resume targets).
+        """
         if self.ledger_path is None:
             return
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         per_part = (
-            state.withColumn("partition_id", F.spark_partition_id())
-            .groupBy("partition_id")
-            .agg(F.count(F.lit(1)).alias("rows_out"))
-            .select(
-                F.lit(self.run_id).alias("run_id"),
-                F.lit(self.operator).alias("operator"),
-                F.lit(superstep).alias("superstep"),
-                "partition_id",
-                "rows_out",
-                F.lit(moved).cast("long").alias("moved"),
-                F.lit(metric).cast("double").alias("metric"),
-                F.lit(wall_ms).cast("long").alias("wall_ms"),
-                F.lit(ckpt_path).alias("checkpoint_path"),
-            )
+            self._partition_rows(ckpt_path) if ckpt_path is not None else [(-1, -1)]
         )
-        self.spark.createDataFrame(per_part.collect(), schema=LEDGER).write.mode(
-            "append"
-        ).parquet(self.ledger_path)
+        n = len(per_part)
+        table = pa.table(
+            {
+                "run_id": pa.array([self.run_id] * n, pa.string()),
+                "operator": pa.array([self.operator] * n, pa.string()),
+                "superstep": pa.array([superstep] * n, pa.int32()),
+                "partition_id": pa.array([p for p, _ in per_part], pa.int32()),
+                "rows_out": pa.array([r for _, r in per_part], pa.int64()),
+                "moved": pa.array([moved] * n, pa.int64()),
+                "metric": pa.array([metric] * n, pa.float64()),
+                "wall_ms": pa.array([wall_ms] * n, pa.int64()),
+                "checkpoint_path": pa.array([ckpt_path] * n, pa.string()),
+            }
+        )
+        os.makedirs(self.ledger_path, exist_ok=True)
+        pq.write_table(
+            table,
+            os.path.join(
+                self.ledger_path, f"step-{superstep:05d}-{uuid.uuid4().hex}.parquet"
+            ),
+        )
 
     # -- checkpoint -------------------------------------------------------
     def _ckpt_path(self, superstep: int) -> str:
@@ -113,9 +153,14 @@ class SuperstepRunner:
         else:
             state = state.localCheckpoint(eager=True)
         wall_ms = int((time.monotonic() - t0) * 1000)
-        self._append_ledger(
-            state, self.superstep, result.moved, result.metric, wall_ms, ckpt_path
-        )
+        moved, metric = result.moved, result.metric
+        if result.observation is not None:
+            vals = result.observation.get
+            if result.moved_key is not None:
+                moved = int(vals[result.moved_key])
+            if result.metric_key is not None:
+                metric = float(vals[result.metric_key])
+        self._append_ledger(self.superstep, moved, metric, wall_ms, ckpt_path)
         if self._persisted is not None:
             self._persisted.unpersist()
         self._persisted = state

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 TABLES = [
@@ -43,13 +43,12 @@ def events_membership(events: DataFrame) -> DataFrame:
 
 
 def events_vertices(mem: DataFrame) -> DataFrame:
-    """(id, name) — dense sorted rank over distinct entities."""
-    w = Window.orderBy("entity")
-    return (
-        mem.select("entity")
-        .distinct()
-        .select((F.row_number().over(w) - 1).cast("long").alias("id"), F.col("entity").alias("name"))
-    )
+    """(id, name) — dense sorted rank over distinct entities, via the
+    two-phase distributed rank (plans/rank.py; no single-partition window)."""
+    from louvain_spark.plans.rank import dense_sorted_rank
+
+    ents = mem.select("entity").distinct()
+    return dense_sorted_rank(ents, "entity").select("id", F.col("entity").alias("name"))
 
 
 def events_cooc(events: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -12,12 +12,13 @@ engine stage.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from louvain_spark.functions.featurize import featurize
 from louvain_spark.functions.scalars import l2_normalize
 from louvain_spark.operators.similarity import cosine_topk_brute
+from louvain_spark.plans.rank import dense_sorted_rank
 
 CLUSTER_MATCH_THRESHOLD = 0.8   # eventMove.py:459-463
 ORPHAN_MATCH_THRESHOLD = 0.95   # eventMove.py:602-692
@@ -111,10 +112,9 @@ def migrate(
         .distinct()
         .join(matches.withColumnRenamed("daily_community", "community"), "community", "left_anti")
     )
-    w = Window.orderBy("community")
-    fresh = unmatched.select(
+    fresh = dense_sorted_rank(unmatched, "community", id_col="_rk").select(
         F.col("community").alias("daily_community"),
-        (F.row_number().over(w) + max_alltime).cast("long").alias("alltime_community"),
+        (F.col("_rk") + 1 + max_alltime).cast("long").alias("alltime_community"),
     )
     remap = matches.unionByName(fresh)
 

@@ -78,7 +78,7 @@ def compact_increments(spark: SparkSession, increments_dir: str) -> tuple[DataFr
     group in the drop contract — document/enforce upstream). The global
     vertex dictionary is the sorted rank over all entity names seen.
     """
-    from pyspark.sql import Window
+    from louvain_spark.plans.rank import dense_sorted_rank
 
     inc = spark.read.parquet(increments_dir)
     names = (
@@ -86,8 +86,7 @@ def compact_increments(spark: SparkSession, increments_dir: str) -> tuple[DataFr
         .union(inc.select("dst_name"))
         .distinct()
     )
-    w = Window.orderBy("name")
-    verts = names.select((F.row_number().over(w) - 1).cast("long").alias("id"), "name")
+    verts = dense_sorted_rank(names, "name").select("id", "name")
     by_name = inc.groupBy("src_name", "dst_name").agg(
         F.sum("weight").alias("weight"),
         F.array_sort(F.array_distinct(F.flatten(F.collect_list("etypes")))).alias("etypes"),

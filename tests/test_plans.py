@@ -79,3 +79,40 @@ def test_whole_stage_codegen_on_relational(spark):
     # '*(n)' is the WholeStageCodegen stage marker in executed-plan strings
     assert re.search(r"\*\(\d+\)", plan), plan[:600]
     assert "isFinalPlan=true" in plan
+
+
+def test_dense_sorted_rank_matches_global_sort_and_stays_partitioned(spark):
+    """The two-phase rank (plans/rank.py) must equal the single-partition
+    Window.orderBy rank exactly, with NO single-partition exchange in its
+    plan — the vertex dictionary path must never funnel through one task."""
+    from pyspark.sql import Window
+
+    from louvain_spark.plans.rank import dense_sorted_rank
+
+    names = spark.range(0, 997).select(
+        F.concat(F.lit("e"), F.format_string("%05d", (F.col("id") * 7919) % 997)).alias(
+            "entity"
+        )
+    ).distinct()
+    got = dense_sorted_rank(names, "entity", partitions=8, checkpoint=False)
+    want = names.select(
+        (F.row_number().over(Window.orderBy("entity")) - 1).cast("long").alias("id"),
+        "entity",
+    )
+    assert "SinglePartition" not in _plan(got), _plan(got)
+    got_rows = {(r["id"], r["entity"]) for r in got.collect()}
+    want_rows = {(r["id"], r["entity"]) for r in want.collect()}
+    assert got_rows == want_rows
+
+
+def test_events_vertices_plan_has_no_single_partition_window(spark):
+    """events_cooc's dictionary build (the path every graph entry query
+    takes) must not contain an unpartitioned window (VERDICT r1 #3)."""
+    from louvain_spark.sources.tables import events_cooc
+
+    events = load(spark, SF, "events")
+    verts, edges = events_cooc(events)
+    # the dictionary is checkpointed inside dense_sorted_rank; assert the
+    # downstream plans carry no single-partition exchange either
+    assert "SinglePartition" not in _plan(verts)
+    assert "SinglePartition" not in _plan(edges)
