@@ -9,7 +9,7 @@ weight_col: None reproduces that unweighted behavior; weight_col='weight'
 is the genuinely weighted mode of the older path
 (/root/reference/trach/Neo4jLouvainProcessor_old.py:184-198).
 
-Two local-move modes:
+Three local-move modes ('auto' composes the other two):
 
 - mode='exact': the level graph's local-move phase runs as one
   applyInPandas block executing the deterministic CSR kernel
@@ -31,7 +31,12 @@ Two local-move modes:
   on order-invariant graphs) rather than exact partition, which is
   order-dependent by nature.
 
-Level loop (both modes): renumber communities by first appearance over
+- mode='auto': per dendrogram level, parallel while the level graph has
+  more than auto_exact_max vertices (default block_target ×
+  defaultParallelism), exact once it has coarsened below that — the
+  executable form of the "run level 0 in parallel, switch to exact" story.
+
+Level loop (all modes): renumber communities by first appearance over
 ascending node order → coarsen groupBy(min(c_src,c_dst), max(...)).sum(w)
 with self-loops kept → repeat while level modularity gain ≥ 1e-7.
 """
@@ -167,8 +172,9 @@ def _one_level_parallel(
     max_sweeps: int = 16,
     n_blocks: int | None = None,
     block_target: int = 64,
-    min_moved_frac: float = 0.01,
+    min_moved_frac: float = 0.02,
     ckpt_dir: str | None = None,
+    broadcast_nodes: int = 4_000_000,
 ) -> tuple[DataFrame, float]:
     """Block-parallel local-move phase (Grappolo-style, the north-star shape).
 
@@ -285,19 +291,42 @@ def _one_level_parallel(
         else:
             def _mark(label):
                 pass
-        tot = (
-            assign.join(k.select("id", "k"), "id")
-            .groupBy("community")
-            .agg(F.sum("k").alias("tot"))
-        )
-        a_dst = assign.select(F.col("id").alias("dst"), F.col("community").alias("cd"))
-        a_src = assign.select(F.col("id").alias("src"), F.col("community").alias("cu"))
+        # ONE combined per-vertex dimension per sweep — (id, community, k,
+        # Σ_tot of its community) — materialized once and joined twice
+        # (src side and dst side). The dimension is |V|-sized, tiny next
+        # to the edge table: below broadcast_nodes it ships as broadcast
+        # hash joins, so the only shuffle per sweep is the groupBy(_blk)
+        # feeding the kernel; above it, fall back to shuffle joins (the
+        # same size regime where a real cluster would).
+        use_bc = n_nodes <= broadcast_nodes
+        jb = F.broadcast if use_bc else (lambda df: df)
+        base = assign.join(k.select("id", "k"), "id")
+        tot = base.groupBy("community").agg(F.sum("k").alias("tot"))
+        dim = base.join(jb(tot), "community").select(
+            "id", "community", "k", "tot"
+        ).localCheckpoint(eager=True)
         tagged = (
-            sym.join(a_dst, "dst")
-            .join(a_src, "src")
-            .join(k.select(F.col("id").alias("src"), "k"), "src")
-            .join(tot.select(F.col("community").alias("cd"), F.col("tot").alias("tot_cd")), "cd")
-            .join(tot.select(F.col("community").alias("cu"), F.col("tot").alias("tot_cu")), "cu")
+            sym.join(
+                jb(
+                    dim.select(
+                        F.col("id").alias("dst"),
+                        F.col("community").alias("cd"),
+                        F.col("tot").alias("tot_cd"),
+                    )
+                ),
+                "dst",
+            )
+            .join(
+                jb(
+                    dim.select(
+                        F.col("id").alias("src"),
+                        F.col("community").alias("cu"),
+                        "k",
+                        F.col("tot").alias("tot_cu"),
+                    )
+                ),
+                "src",
+            )
             .withColumn("_blk", F.pmod(F.xxhash64("src"), F.lit(n_blocks)).cast("int"))
             .withColumn("_sweep", F.lit(sweep))
         )
@@ -313,6 +342,7 @@ def _one_level_parallel(
         # size estimate into next sweep's assign, compounding exponentially
         moved_df = _stats_reset(spark, moved_df, ckpt_dir, f"moved-l{level}-s{sweep}")
         moved = int(obs.get["n"])
+        dim.unpersist()
         _mark("kernel+count")
         if _DBG:
             qe = assign._jdf.queryExecution()
@@ -338,7 +368,7 @@ def _one_level_parallel(
             break
         prev_assign = assign
         assign = (
-            assign.join(moved_df, "id", "left")
+            assign.join(jb(moved_df), "id", "left")
             .select("id", F.coalesce("new_com", "community").alias("community"))
             .localCheckpoint(eager=True)
         )
@@ -353,6 +383,34 @@ def _one_level_parallel(
 
 
 # ---------------------------------------------------------------------------
+
+def _dispatch_one_level(spark, mode, ckpt_base, parallel_opts):
+    """Level-phase dispatcher for mode in {'exact', 'parallel', 'auto'}."""
+    if mode == "exact":
+        return _one_level_exact
+    popts = dict(parallel_opts or {})
+    auto_exact_max = popts.pop("auto_exact_max", None)
+
+    def run_parallel(spark, e, ids, resolution, seed, level):
+        return _one_level_parallel(
+            spark, e, ids, resolution, seed, level, ckpt_dir=ckpt_base, **popts
+        )
+
+    if mode == "parallel":
+        return run_parallel
+    if mode != "auto":
+        raise ValueError(f"unknown louvain mode: {mode!r}")
+    threshold = auto_exact_max
+    if threshold is None:
+        threshold = popts.get("block_target", 64) * spark.sparkContext.defaultParallelism
+
+    def run_auto(spark, e, ids, resolution, seed, level):
+        if ids.count() <= threshold:
+            return _one_level_exact(spark, e, ids, resolution, seed, level)
+        return run_parallel(spark, e, ids, resolution, seed, level)
+
+    return run_auto
+
 
 def louvain(
     spark: SparkSession,
@@ -372,21 +430,21 @@ def louvain(
     Communities are labeled 0..k-1 (dendrogram top level). weight_col=None
     clusters the unweighted graph, reproducing the reference's shipped
     behavior (SURVEY.md §2.8).
+
+    mode='auto' is the executable form of the 100TB story: each dendrogram
+    level runs parallel block sweeps while the level graph is larger than
+    auto_exact_max vertices (parallel_opts key; default block_target ×
+    defaultParallelism) and switches to the exact single-block kernel once
+    the coarsened graph fits — coarse levels shrink geometrically, so the
+    tail of the dendrogram converges sequentially instead of burning
+    multi-block sweeps on tiny graphs.
     """
     if runner is None:
         runner = SuperstepRunner(spark, "adhoc", f"louvain-{mode}")
     import tempfile
 
     ckpt_base = runner.checkpoint_dir or tempfile.mkdtemp(prefix="louvain-ckpt-")
-
-    if mode == "exact":
-        one_level = _one_level_exact
-    else:
-        def one_level(spark, e, ids, resolution, seed, level):
-            return _one_level_parallel(
-                spark, e, ids, resolution, seed, level,
-                ckpt_dir=ckpt_base, **(parallel_opts or {}),
-            )
+    one_level = _dispatch_one_level(spark, mode, ckpt_base, parallel_opts)
 
     ids = vertex_ids(edges, vertices).persist()
     # materialize the normalized canonical edge table once: every sweep
@@ -484,14 +542,7 @@ def resume_louvain(
     cur_edges = _stats_reset(
         spark, _coarsen(e0, mapping), checkpoint_dir, f"edges-l{step + 1}"
     )
-    if mode == "exact":
-        one_level = _one_level_exact
-    else:
-        def one_level(spark, e, ids, resolution, seed, level):
-            return _one_level_parallel(
-                spark, e, ids, resolution, seed, level,
-                ckpt_dir=checkpoint_dir, **(parallel_opts or {}),
-            )
+    one_level = _dispatch_one_level(spark, mode, checkpoint_dir, parallel_opts)
     return _level_loop(
         spark, one_level, runner, checkpoint_dir, mapping, float(mod), cur_edges,
         start_level=step + 1, max_levels=max_levels, resolution=resolution,

@@ -137,3 +137,26 @@ def test_parallel_mode_multiblock(spark):
     want_mod = louvain_ref.partition_modularity(range(n), edges, want)
     assert canon(got) == canon(want)
     assert abs(got_mod - want_mod) < 1e-6
+
+
+def test_auto_mode_small_graph_equals_exact(spark):
+    """Below the auto threshold every level runs the exact kernel → full
+    oracle partition parity, same as mode='exact'."""
+    edges, n = graphs.g_ring_of_cliques()
+    got, got_mod = _run(spark, edges, n, mode="auto")
+    want = louvain_ref.best_partition(range(n), edges)
+    want_mod = louvain_ref.partition_modularity(range(n), edges, want)
+    assert canon(got) == canon(want)
+    assert abs(got_mod - want_mod) < 1e-6
+
+
+def test_auto_mode_forced_parallel_matches_parallel_trajectory(spark):
+    """auto_exact_max=0 forces the parallel path at every level — the
+    trajectory (seeded sweeps) must be identical to mode='parallel'."""
+    edges, n = graphs.g_random(60, 0.08, seed=7, weighted=True)
+    got_a, mod_a = _run(
+        spark, edges, n, mode="auto", parallel_opts={"auto_exact_max": 0}
+    )
+    got_p, mod_p = _run(spark, edges, n, mode="parallel")
+    assert got_a == got_p
+    assert abs(mod_a - mod_p) < 1e-12
