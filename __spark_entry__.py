@@ -25,10 +25,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from louvain_spark.functions.scalars import json_decode, json_encode
 from louvain_spark.operators.cc import connected_components
+from louvain_spark.operators.clusters import cluster_summary
 from louvain_spark.operators.dedup import (
     minhash_lsh_pairs,
     minhash_signatures,
+    ngram_jaccard_pairs,
     simhash_signatures,
 )
 from louvain_spark.operators.graph import degrees
@@ -116,6 +119,34 @@ def q_lpa(spark, sf_dir):
     verts, edges = _graph(spark, sf_dir)
     return label_propagation(spark, edges, vertices=verts.select("id")).select(
         "id", "community"
+    )
+
+
+def q_cluster_summary(spark, sf_dir):
+    """Reference stage 4 (Cluster materialization, event.py:33-42,139-151)
+    over a deterministic clustering (hash-8 partition — the events graph
+    is one CC component, so hash communities exercise the summarizer's
+    member aggregation; louvain assignments feed the same operator)."""
+    verts, _ = _graph(spark, sf_dir)
+    assign = verts.select("id", F.pmod("id", F.lit(8)).cast("long").alias("community"))
+    return cluster_summary(assign, verts)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, n=1, max_df=None)
+    return pairs.select("src", "dst", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_json_roundtrip(spark, sf_dir):
+    part = load(spark, sf_dir, "part")
+    js = json_encode(
+        F.struct(F.col("p_partkey").alias("k"), F.col("p_name").alias("n"))
+    )
+    return part.select(
+        "p_partkey",
+        js.alias("js"),
+        json_decode(js, "k BIGINT, n STRING").getField("n").alias("n2"),
     )
 
 
@@ -304,6 +335,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_events": q_pagerank,
         "louvain_events": q_louvain,
         "lpa_events": q_lpa,
+        "cluster_summary_events": q_cluster_summary,
+        "ngram_jaccard_docs": q_ngram_jaccard,
+        "json_roundtrip_part": q_json_roundtrip,
         "top3_orders_per_customer": q_top3_orders,
         "customers_without_orders": q_customers_without_orders,
         "pricing_summary_lineitem": q_pricing_summary,
@@ -467,6 +501,39 @@ def oracle_sql() -> dict[str, str]:
         SELECT round(sum(coalesce(inc.in_w, 0) / tm.m
                          - (deg.deg_w / (2 * tm.m)) ^ 2), 6) AS modularity
         FROM deg LEFT JOIN inc USING (community), tm
+        """,
+        "cluster_summary_events": E
+        + """
+        SELECT id % 8 AS community, count(*) AS size,
+               min(name) AS canonical_name,
+               string_agg(name, '|' ORDER BY name) AS members
+        FROM v
+        GROUP BY 1 HAVING count(*) >= 2
+        """,
+        "ngram_jaccard_docs": f"""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, word AS shingle
+          FROM documents, UNNEST(string_split({_NORM_TEXT}, ' ')) AS t(word)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT src, dst,
+               round(i::DOUBLE / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON inter.src = sa.doc_id
+        JOIN sizes sb ON inter.dst = sb.doc_id
+        WHERE i::DOUBLE / (sa.n_sh + sb.n_sh - i) >= 0.5
+        """,
+        "json_roundtrip_part": """
+        SELECT p_partkey,
+               to_json(struct_pack(k := p_partkey, n := p_name)) AS js,
+               json_extract_string(
+                 to_json(struct_pack(k := p_partkey, n := p_name)), 'n') AS n2
+        FROM part
         """,
         "top3_orders_per_customer": """
         SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total_r2, rn FROM (

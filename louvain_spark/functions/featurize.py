@@ -36,30 +36,63 @@ def _fnv1a_bytes(data: bytes) -> int:
 
 
 def featurize_batch(texts: pd.Series, dim: int = 64, ngram: int = 3) -> pd.Series:
-    """Vectorized hashing-trick featurizer over a pandas batch."""
-    out = []
-    for t in texts:
-        if t is None:
-            # zero-vector fallback, as the reference on embedding failure
-            # (/root/reference/tool/TextProcessor.py:79)
-            out.append(np.zeros(dim, dtype=np.float32))
-            continue
-        data = str(t).encode("utf-8")
-        if len(data) < ngram:
-            grams = [data]
-        else:
-            grams = [data[i : i + ngram] for i in range(len(data) - ngram + 1)]
-        vec = np.zeros(dim, dtype=np.float64)
-        for g in grams:
-            h = _fnv1a_bytes(g)
-            bucket = (h >> 1) % dim
-            sign = 1.0 if (h & 1) == 0 else -1.0
-            vec[bucket] += sign
-        norm = np.linalg.norm(vec)
-        if norm > 0:
-            vec = vec / norm
-        out.append(vec.astype(np.float32))
-    return pd.Series(out)
+    """Vectorized hashing-trick featurizer over a pandas batch.
+
+    Fully vectorized across the batch: all texts' byte n-gram windows hash
+    in `ngram` numpy passes over a padded byte matrix (one XOR-multiply
+    per window byte position), then one scatter-add builds every vector.
+    Bit-identical to the scalar per-gram definition (_fnv1a_bytes), which
+    the tests pin.
+    """
+    n = len(texts)
+    if n == 0:
+        return pd.Series([], dtype=object)
+    vals = list(texts)
+    isnull = np.fromiter((t is None for t in vals), dtype=bool, count=n)
+    enc = [b"" if t is None else str(t).encode("utf-8") for t in vals]
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=n)
+    maxlen = max(int(lens.max()), 1)
+    buf = np.zeros((n, maxlen), dtype=np.uint8)
+    for i, b in enumerate(enc):
+        if b:
+            buf[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    off = np.uint64(_FNV_OFFSET)
+    prime = np.uint64(_FNV_PRIME)
+    acc = np.zeros((n, dim), dtype=np.float64)
+
+    def scatter(rows: np.ndarray, hv: np.ndarray) -> None:
+        bucket = ((hv >> np.uint64(1)) % np.uint64(dim)).astype(np.int64)
+        sign = np.where((hv & np.uint64(1)) == 0, 1.0, -1.0)
+        # bincount over a flattened (row, bucket) index — an order faster
+        # than np.add.at's unbuffered scatter
+        flat = rows * dim + bucket
+        acc.ravel()[:] += np.bincount(flat, weights=sign, minlength=n * dim)
+
+    n_win = maxlen - ngram + 1
+    if n_win > 0:
+        h = np.full((n, n_win), off, dtype=np.uint64)
+        for t in range(ngram):
+            h = (h ^ buf[:, t : t + n_win].astype(np.uint64)) * prime
+        rows, cols = np.nonzero(
+            np.arange(n_win)[None, :] < (lens - ngram + 1)[:, None]
+        )
+        scatter(rows, h[rows, cols])
+    # texts shorter than one n-gram contribute their whole byte string as
+    # the single gram (zero-vector fallback for None, as the reference on
+    # embedding failure, /root/reference/tool/TextProcessor.py:79)
+    short = (~isnull) & (lens < ngram)
+    if short.any():
+        sl = lens[short]
+        sbuf = buf[short]
+        hs = np.full(len(sl), off, dtype=np.uint64)
+        for j in range(int(sl.max()) if len(sl) else 0):
+            live = sl > j
+            hs[live] = (hs[live] ^ sbuf[live, j].astype(np.uint64)) * prime
+        scatter(np.nonzero(short)[0], hs)
+    norms = np.linalg.norm(acc, axis=1, keepdims=True)
+    mat = np.where(norms > 0, acc / np.maximum(norms, 1e-300), acc).astype(np.float32)
+    mat[isnull] = 0.0
+    return pd.Series(list(mat))
 
 
 def featurize_udf(dim: int = 64, ngram: int = 3):

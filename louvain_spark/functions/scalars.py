@@ -124,3 +124,19 @@ def zero_vector_fallback(col, dim: int) -> Column:
     """F16: NULL embedding → zero vector
     (/root/reference/tool/TextProcessor.py:79)."""
     return F.coalesce(_c(col), F.array_repeat(F.lit(0.0).cast("float"), dim))
+
+
+def json_encode(col) -> Column:
+    """F14: struct/map/array column → JSON string (column-level, not the
+    file-level read_json/write_json in sources/io.py). Spark's to_json is
+    timestamp-aware (ISO-8601), the engine twin of the reference's
+    datetime-handling JSON encoder (/root/reference/tool/NewsProcessor.py:28-31,
+    /root/reference/thing copy.py:115-128)."""
+    return F.to_json(_c(col))
+
+
+def json_decode(col, schema) -> Column:
+    """F14: JSON string column → typed struct via from_json; schema is a
+    DDL string ('a INT, b STRING') or StructType. Malformed input yields
+    NULL (PERMISSIVE), mirroring the reference's try/except parse."""
+    return F.from_json(_c(col), schema)

@@ -6,13 +6,18 @@ Two physical strategies (SURVEY.md §4.2):
   functions — no Python) + per-query window top-k. Exact; fine when
   |queries|×|items| is small or as the verification baseline.
 
-- blocked: broadcast the item matrix (ids + float32 vectors) to executors
-  once, then mapInPandas over the query side computes batch×matrix cosine
-  with numpy and emits each batch's local top-k. No shuffle, no crossJoin;
-  scales linearly in |queries| for item sets that fit executor memory
-  (the reference's sklearn brute kNN k=100 has the same memory model,
-  /root/reference/tool/Neo4jLouvainProcessor.py:109-153). For item sets
-  beyond memory, chunk the item side and re-top-k the union (k small).
+- blocked: block nested-loop as a cogrouped Arrow kernel. Queries are
+  hash-bucketed into query blocks, items into item chunks; each (block,
+  chunk) cell cogroups on the executors and a numpy matmul emits the
+  cell's per-query top-k, then one window merges chunk-local top-k's into
+  the global top-k (k small, so the merge input is |Q|·chunks·k rows).
+  Fully distributed: no driver collect, no whole-matrix broadcast — the
+  item side streams through executors one chunk per task, which is the
+  scale path when the item set exceeds any single memory (the reference's
+  sklearn brute kNN, /root/reference/tool/Neo4jLouvainProcessor.py:109-153,
+  holds the full matrix in one process — this replaces that memory model).
+  Replication cost is explicit: queries × chunks + items × blocks rows
+  through one shuffle.
 
 Vectors are assumed L2-normalized (dot == cosine), as the reference
 normalizes before caching (/root/reference/tool/Neo4jLouvainProcessor.py:96).
@@ -20,7 +25,7 @@ normalizes before caching (/root/reference/tool/Neo4jLouvainProcessor.py:96).
 
 from __future__ import annotations
 
-from typing import Iterator
+import math
 
 import numpy as np
 import pandas as pd
@@ -79,47 +84,69 @@ def cosine_topk_blocked(
     i_vec: str = "vec",
     min_sim: float | None = None,
     exclude_self: bool = True,
+    query_block_rows: int = 8192,
+    item_block_rows: int = 65536,
 ) -> DataFrame:
-    """Same contract as cosine_topk_brute via broadcast-matrix numpy blocks."""
-    rows = items.select(F.col(i_id).alias("id"), F.col(i_vec).alias("v")).collect()
-    ids = np.array([r["id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["v"] for r in rows], dtype=np.float32)
-    bc = spark.sparkContext.broadcast((ids, mat))
+    """Same contract as cosine_topk_brute via cogrouped numpy blocks.
+
+    Exact (it is a complete block nested-loop, not approximate): the
+    global top-k per query is the window-merge of each item-chunk's local
+    top-k. Sizing: each task holds one query block × one item chunk
+    (default ≤8192×65536 sims ≈ 4GB float64 worst case at full blocks —
+    the defaults keep cells well under that because blocks hash-balance).
+    """
+    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv"))
+    i = items.select(F.col(i_id).alias("item_id"), F.col(i_vec).alias("_iv"))
+    out_schema = "query_id long, item_id long, sim double"
+    n_q, n_i = q.count(), i.count()
+    if n_q == 0 or n_i == 0:
+        return spark.createDataFrame([], out_schema + ", rank int")
+    qb = max(1, math.ceil(n_q / query_block_rows))
+    ib = max(1, math.ceil(n_i / item_block_rows))
+    q2 = q.withColumn(
+        "_qb", F.pmod(F.xxhash64("query_id"), F.lit(qb)).cast("int")
+    ).withColumn("_ib", F.explode(F.array(*[F.lit(x) for x in range(ib)])))
+    i2 = i.withColumn(
+        "_ib", F.pmod(F.xxhash64("item_id"), F.lit(ib)).cast("int")
+    ).withColumn("_qb", F.explode(F.array(*[F.lit(x) for x in range(qb)])))
     kk, thr, excl = int(k), min_sim, bool(exclude_self)
 
-    def block(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        b_ids, b_mat = bc.value
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            qv = np.array(list(pdf["_qv"]), dtype=np.float32)
-            sims = qv @ b_mat.T  # (batch, n_items)
-            qids = pdf["query_id"].to_numpy()
-            if excl:
-                mask = qids[:, None] == b_ids[None, :]
-                sims = np.where(mask, -np.inf, sims)
-            n_take = min(kk, sims.shape[1])
-            # argpartition then exact sort of the head; tie-break item id asc
-            part = np.argpartition(-sims, n_take - 1, axis=1)[:, :n_take]
-            out_q, out_i, out_s, out_r = [], [], [], []
-            for row in range(sims.shape[0]):
-                cand = part[row]
-                order = np.lexsort((b_ids[cand], -sims[row, cand]))
-                sel = cand[order]
-                s = sims[row, sel]
-                keep = s > -np.inf
-                if thr is not None:
-                    keep &= s >= thr
-                sel, s = sel[keep], s[keep]
-                out_q.extend([qids[row]] * len(sel))
-                out_i.extend(b_ids[sel])
-                out_s.extend(s.astype(np.float64))
-                out_r.extend(range(1, len(sel) + 1))
-            yield pd.DataFrame(
-                {"query_id": out_q, "item_id": out_i, "sim": out_s, "rank": out_r}
+    def cell(qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
+        if len(qpdf) == 0 or len(ipdf) == 0:
+            return pd.DataFrame({"query_id": [], "item_id": [], "sim": []}).astype(
+                {"query_id": "int64", "item_id": "int64", "sim": "float64"}
             )
+        qv = np.array(list(qpdf["_qv"]), dtype=np.float64)
+        mat = np.array(list(ipdf["_iv"]), dtype=np.float64)
+        b_ids = ipdf["item_id"].to_numpy()
+        qids = qpdf["query_id"].to_numpy()
+        sims = qv @ mat.T  # (block, chunk)
+        if excl:
+            sims = np.where(qids[:, None] == b_ids[None, :], -np.inf, sims)
+        n_take = min(kk, sims.shape[1])
+        # argpartition then exact sort of the head; tie-break item id asc
+        part = np.argpartition(-sims, n_take - 1, axis=1)[:, :n_take]
+        out_q, out_i, out_s = [], [], []
+        for row in range(sims.shape[0]):
+            cand = part[row]
+            order = np.lexsort((b_ids[cand], -sims[row, cand]))
+            sel = cand[order]
+            s = sims[row, sel]
+            keep = s > -np.inf
+            if thr is not None:
+                keep &= s >= thr
+            sel, s = sel[keep], s[keep]
+            out_q.extend([qids[row]] * len(sel))
+            out_i.extend(b_ids[sel])
+            out_s.extend(s)
+        return pd.DataFrame({"query_id": out_q, "item_id": out_i, "sim": out_s}).astype(
+            {"query_id": "int64", "item_id": "int64", "sim": "float64"}
+        )
 
-    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv"))
-    return q.mapInPandas(
-        block, "query_id long, item_id long, sim double, rank int"
+    cand = (
+        q2.groupby("_qb", "_ib")
+        .cogroup(i2.groupby("_qb", "_ib"))
+        .applyInPandas(cell, out_schema)
     )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("item_id").asc())
+    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= kk)

@@ -132,3 +132,86 @@ def test_fingerprint_stable_for_dups(spark):
     fp = {r["doc_id"]: r["fingerprint"] for r in fingerprint(_docs(spark)).collect()}
     assert fp[0] == fp[1] == fp[2]
     assert fp[0] != fp[6]
+
+
+def test_simhash_batch_matches_scalar_definition():
+    """Vectorized simhash kernel == per-token/per-byte scalar definition."""
+    import pandas as pd
+
+    from louvain_spark.functions.featurize import _fnv1a_bytes
+    from louvain_spark.operators.dedup import simhash_batch
+
+    def scalar(t, bits=64):
+        if not t:
+            return 0
+        toks = str(t).lower().split()
+        if not toks:
+            return 0
+        acc = np.zeros(bits, np.int64)
+        for tok in toks:
+            h = _fnv1a_bytes(tok.encode("utf-8"))
+            for b in range(bits):
+                acc[b] += 1 if (h >> b) & 1 else -1
+        sig = sum(1 << b for b in range(bits) if acc[b] > 0)
+        return sig - (1 << 64) if sig >= 1 << 63 else sig
+
+    rng = np.random.RandomState(5)
+    texts = [t for _, t in DOCS] + [None, "Ü unicode tëxt"] + [
+        " ".join(
+            "".join(rng.choice(list("abcxyz"), rng.randint(1, 9)))
+            for _ in range(rng.randint(1, 40))
+        )
+        for _ in range(100)
+    ]
+    got = simhash_batch(pd.Series(texts))
+    for i, t in enumerate(texts):
+        assert got[i] == scalar(t), (i, t)
+
+
+def test_simhash_pairs_blocks_derive_from_max_hamming(spark):
+    """max_hamming > 3 must still have exact candidate recall (pigeonhole
+    with max_hamming+1 blocks) — the fixed 4-block split would drop pairs."""
+    from louvain_spark.operators.dedup import simhash_signatures as _sigs
+
+    docs = _docs(spark)
+    sigs = {r["doc_id"]: r["simhash"] for r in _sigs(docs).collect()}
+    for mh in (1, 3, 6, 10):
+        got = {
+            (r["src"], r["dst"]): r["hamming"]
+            for r in simhash_pairs(docs, max_hamming=mh).collect()
+        }
+        want = {}
+        for a, b in itertools.combinations(sorted(sigs), 2):
+            d = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+            if d <= mh:
+                want[(a, b)] = d
+        assert got == want, (mh, got, want)
+
+
+def test_lsh_verify_threshold_on_candidates_only(spark):
+    """verify_threshold re-checks LSH candidates with exact Jaccard — and
+    must compute it per candidate pair, not via an all-pairs self-join
+    (VERDICT r1 #5): result equals brute Jaccard filtered to candidates."""
+    docs = _docs(spark)
+    cands = {
+        (r["src"], r["dst"])
+        for r in minhash_lsh_pairs(docs, num_hashes=16, bands=8).collect()
+    }
+    verified = {
+        (r["src"], r["dst"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            docs, num_hashes=16, bands=8, verify_threshold=0.5
+        ).collect()
+    }
+    texts = dict(DOCS)
+    for (a, b), j in verified.items():
+        sa, sb = _py_shingles(texts[a]), _py_shingles(texts[b])
+        want = len(sa & sb) / len(sa | sb)
+        assert (a, b) in cands
+        assert abs(j - want) < 1e-9
+        assert j >= 0.5
+    # candidates below the threshold are filtered out
+    for a, b in cands:
+        sa, sb = _py_shingles(texts[a]), _py_shingles(texts[b])
+        if sa | sb and len(sa & sb) / len(sa | sb) >= 0.5:
+            assert (a, b) in verified

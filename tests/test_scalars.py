@@ -89,3 +89,29 @@ def test_zero_vector_fallback(spark):
     got = [list(r[0]) for r in df.select(S.zero_vector_fallback("v", 3).alias("o")).collect()]
     assert got[0] == [0.0, 0.0, 0.0]
     assert got[1] == [1.0]
+
+
+def test_json_encode_decode_roundtrip(spark):
+    """F14: column-level JSON codec — struct (incl. timestamp) → string →
+    struct; malformed input decodes to NULL."""
+    import datetime
+
+    from louvain_spark.functions.scalars import json_decode, json_encode
+
+    df = spark.createDataFrame(
+        [(1, "a b", datetime.datetime(2024, 5, 17, 12, 30))],
+        "k long, s string, ts timestamp",
+    )
+    enc = df.select(
+        json_encode(F.struct("k", "s", "ts")).alias("js")
+    )
+    js = enc.collect()[0]["js"]
+    assert js.startswith('{"k":1,"s":"a b","ts":"2024-05-17T12:30:00') , js
+    dec = enc.select(json_decode("js", "k LONG, s STRING, ts TIMESTAMP").alias("d"))
+    row = dec.collect()[0]["d"]
+    assert row["k"] == 1 and row["s"] == "a b"
+    assert row["ts"] == datetime.datetime(2024, 5, 17, 12, 30)
+    bad = spark.createDataFrame([("{not json",)], "js string").select(
+        json_decode("js", "k LONG").alias("d")
+    )
+    assert bad.collect()[0]["d"]["k"] is None
