@@ -105,12 +105,30 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     extra["edges_per_sec"] = round(n_edges / max(timings["induce_edges"], 1e-9), 1)
 
     ids = verts.select("id").persist()
+    # durable parquet checkpoints every 4 supersteps + per-superstep ledger
+    # are the bench default — the resumability contract (north_rule) is
+    # measured, not just tested; the ledger appends are driver-side
+    # pyarrow (no extra Spark jobs)
+    from louvain_spark.plans.loop import SuperstepRunner
+
     with timed("connected_components"):
-        cc = connected_components(spark, edges, vertices=ids)
+        cc = connected_components(
+            spark, edges, vertices=ids,
+            runner=SuperstepRunner(
+                spark, "bench-cc", "cc",
+                checkpoint_dir=f"{work}/ckpt-cc", checkpoint_every=4,
+            ),
+        )
         cc.count()
 
     with timed("pagerank_10it"):
-        pr = pagerank(spark, edges, vertices=ids, max_iter=10, tol=0.0)
+        pr = pagerank(
+            spark, edges, vertices=ids, max_iter=10, tol=0.0,
+            runner=SuperstepRunner(
+                spark, "bench-pr", "pagerank",
+                checkpoint_dir=f"{work}/ckpt-pr", checkpoint_every=4,
+            ),
+        )
         pr.count()
 
     # louvain's block count and auto-threshold derive from

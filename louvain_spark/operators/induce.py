@@ -154,28 +154,59 @@ def cooccurrence_edges(
     counts = per_conv.groupBy("src", "dst").agg(
         F.count(F.lit(1)).cast("double").alias("weight")
     )
-    # vtype is an id-RANGE: ids are dense ranks over entity names and the
-    # name prefix is the vtype ('conv:' < 'role:' < 'tool:' sorts by type),
-    # so three boundary scalars replace two more 400k-row broadcast builds
-    bounds = {
-        r["vtype"]: (r["lo"], r["hi"])
-        for r in vertices.groupBy("vtype")
-        .agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+    # vtype is an id-RANGE when ids are dense ranks over entity names and
+    # the name prefix is the vtype ('conv:' < 'role:' < 'tool:' sorts by
+    # type): three boundary scalars replace two more 400k-row broadcast
+    # builds. That only holds for entity_vertices-produced dictionaries —
+    # validate (contiguous: per-type count == hi-lo+1, and ranges
+    # disjoint) and fall back to broadcast dictionary joins for caller-
+    # supplied vertex tables with other id assignments.
+    stats = (
+        vertices.groupBy("vtype")
+        .agg(
+            F.min("id").alias("lo"),
+            F.max("id").alias("hi"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
         .collect()
-    }
-
-    def _vt(col):
-        expr = F.lit(None).cast("string")
-        for vt, (lo, hi) in bounds.items():
-            expr = F.when(F.col(col).between(lo, hi), F.lit(vt)).otherwise(expr)
-        return expr
-
-    edges = counts.select(
-        "src",
-        "dst",
-        "weight",
-        F.array_sort(F.array_distinct(F.array(_vt("src"), _vt("dst")))).alias("etypes"),
     )
+    bounds = {r["vtype"]: (r["lo"], r["hi"]) for r in stats}
+    spans = sorted((r["lo"], r["hi"]) for r in stats)
+    contiguous = all(r["hi"] - r["lo"] + 1 == r["cnt"] for r in stats) and all(
+        spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1)
+    )
+
+    if contiguous:
+        def _vt(col):
+            expr = F.lit(None).cast("string")
+            for vt, (lo, hi) in bounds.items():
+                expr = F.when(F.col(col).between(lo, hi), F.lit(vt)).otherwise(expr)
+            return expr
+
+        edges = counts.select(
+            "src",
+            "dst",
+            "weight",
+            F.array_sort(F.array_distinct(F.array(_vt("src"), _vt("dst")))).alias("etypes"),
+        )
+    else:
+        vt_dim = vertices.select("id", "vtype")
+        edges = (
+            counts.join(
+                F.broadcast(vt_dim.select(F.col("id").alias("src"), F.col("vtype").alias("_ts"))),
+                "src",
+            )
+            .join(
+                F.broadcast(vt_dim.select(F.col("id").alias("dst"), F.col("vtype").alias("_td"))),
+                "dst",
+            )
+            .select(
+                "src",
+                "dst",
+                "weight",
+                F.array_sort(F.array_distinct(F.array("_ts", "_td"))).alias("etypes"),
+            )
+        )
     return vertices, edges
 
 

@@ -25,15 +25,22 @@ def label_propagation(
     weight_col: str | None = "weight",
     max_iter: int = 20,
     runner: SuperstepRunner | None = None,
+    broadcast_nodes: int = 4_000_000,
 ) -> DataFrame:
-    """assignments(id, community) — community = converged label (init: own id)."""
+    """assignments(id, community) — community = converged label (init: own id).
+
+    Below broadcast_nodes vertices the per-superstep label table ships as
+    broadcast hash joins (one shuffle per superstep: the histogram
+    groupBy); above it, shuffle joins.
+    """
     if runner is None:
         runner = SuperstepRunner(spark, "adhoc", "lpa")
 
     w = F.col(weight_col) if weight_col else F.lit(1.0)
     adj = symmetrize(edges.select("src", "dst", w.cast("double").alias("w")), "w").persist()
     adj.count()
-    ids = vertex_ids(edges, vertices)
+    ids = vertex_ids(edges, vertices).persist()
+    jb = F.broadcast if ids.count() <= broadcast_nodes else (lambda df: df)
 
     labels = ids.select("id", F.col("id").alias("community"))
     labels = runner.advance(StepResult(labels))
@@ -41,7 +48,7 @@ def label_propagation(
     for _ in range(max_iter):
         hist = (
             adj.join(
-                labels.select(F.col("id").alias("dst"), F.col("community").alias("nbr_label")),
+                jb(labels.select(F.col("id").alias("dst"), F.col("community").alias("nbr_label"))),
                 "dst",
             )
             .groupBy(F.col("src").alias("id"), F.col("nbr_label"))
@@ -53,7 +60,7 @@ def label_propagation(
             .where(F.col("_rn") == 1)
             .select("id", F.col("nbr_label").alias("new_label"))
         )
-        new_labels = ids.join(best, "id", "left").join(labels, "id").select(
+        new_labels = ids.join(jb(best), "id", "left").join(jb(labels), "id").select(
             "id", F.coalesce("new_label", "community").alias("community"),
             (F.coalesce("new_label", "community") != F.col("community")).alias("_moved"),
         )
@@ -71,4 +78,5 @@ def label_propagation(
         if moved == 0:
             break
     adj.unpersist()
+    ids.unpersist()
     return labels

@@ -31,8 +31,15 @@ def pagerank(
     weight_col: str | None = "weight",
     directed: bool = False,
     runner: SuperstepRunner | None = None,
+    broadcast_nodes: int = 4_000_000,
 ) -> DataFrame:
-    """scores(id, score) summing to 1.0 at convergence."""
+    """scores(id, score) summing to 1.0 at convergence.
+
+    Below broadcast_nodes vertices the per-superstep rank/contrib/dangling
+    dimension tables ship as broadcast hash joins — the only shuffle per
+    superstep is the contribution groupBy. Above it, shuffle joins (the
+    regime where the dimensions no longer fit executor memory).
+    """
     if runner is None:
         runner = SuperstepRunner(spark, "adhoc", "pagerank")
 
@@ -57,26 +64,28 @@ def pagerank(
     )
     frac.count()
 
+    jb = F.broadcast if n <= broadcast_nodes else (lambda df: df)
+
     ranks = ids.select("id", F.lit(1.0 / n).alias("score"))
     ranks = runner.advance(StepResult(ranks))
-    # dangling = vertices with no out-edges; mark once (broadcastable dim)
+    # dangling = vertices with no out-edges; mark once (tiny, loop-invariant)
     dangle_ids = ids.join(
         out_strength.select(F.col("src").alias("id")), "id", "left_anti"
-    ).withColumn("_dangling", F.lit(True))
+    ).withColumn("_dangling", F.lit(True)).localCheckpoint(eager=True)
     dangling = ranks.join(dangle_ids, "id", "left_semi").agg(
         F.coalesce(F.sum("score"), F.lit(0.0))
     ).collect()[0][0]
 
     for _ in range(max_iter):
         contribs = (
-            frac.join(ranks.withColumnRenamed("id", "src"), "src")
+            frac.join(jb(ranks.withColumnRenamed("id", "src")), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("frac") * F.col("score")).alias("c"))
         )
         scored = (
-            ids.join(contribs, "id", "left")
-            .join(ranks.withColumnRenamed("score", "old"), "id")
-            .join(dangle_ids.select("id", "_dangling"), "id", "left")
+            ids.join(jb(contribs), "id", "left")
+            .join(jb(ranks.withColumnRenamed("score", "old")), "id")
+            .join(jb(dangle_ids.select("id", "_dangling")), "id", "left")
             .select(
                 "id",
                 (

@@ -46,9 +46,16 @@ def write_table(df: DataFrame, path: str, column_order: list[str] | None = None,
 def upsert_by_key(
     spark: SparkSession, new_rows: DataFrame, path: str, key: str
 ) -> DataFrame:
-    """MERGE-equivalent for plain parquet: existing ∪ (new ∖ existing-by-key),
-    rewritten atomically-enough for the sandbox (Iceberg MERGE INTO is the
-    cluster path). Returns the merged frame."""
+    """MERGE-equivalent for plain parquet (local-fs helper; Iceberg
+    `MERGE INTO` is the cluster path — an overwrite of a path a live plan
+    still reads from is unsafe under recompute no matter how it is
+    staged). existing ∪ (new ∖ existing-by-key), written to a TEMP path
+    first and swapped in: the merge plan never writes over its own input,
+    so executor loss / block eviction during the write can only recompute
+    against the intact source, never a half-overwritten one."""
+    import os
+    import shutil
+
     try:
         existing = spark.read.parquet(path)
     except Exception:
@@ -57,7 +64,13 @@ def upsert_by_key(
     merged = existing.unionByName(
         new_rows.dropDuplicates([key]).join(existing.select(key), key, "left_anti")
     )
-    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+    tmp = path.rstrip("/") + ".__upsert_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".__upsert_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
     return spark.read.parquet(path)
 
 

@@ -129,3 +129,81 @@ def migrate(
     d_cent.unpersist()
     a_cent.unpersist()
     return merged
+
+
+def match_orphan_vertices(
+    spark: SparkSession,
+    orphan_attrs: DataFrame,
+    alltime_assign: DataFrame,
+    alltime_attrs: DataFrame,
+    text_col: str = "text",
+    dim: int = 64,
+    threshold: float = ORPHAN_MATCH_THRESHOLD,
+) -> DataFrame:
+    """(id, community, sim) — individual never-clustered vertices matched
+    to their best all-time cluster centroid at ≥ threshold (reference
+    matches orphan What nodes at 0.95, eventMove.py:602-692). Orphans
+    below the bar stay unassigned, as in the reference."""
+    cents = cluster_centroids(alltime_assign, alltime_attrs, text_col, dim)
+    vec = featurize(F.coalesce(F.col(text_col), F.lit("")), dim=dim)
+    q = orphan_attrs.select("id", vec.alias("vec"))
+    top = cosine_topk_brute(
+        q,
+        cents.select(F.col("community").alias("id"), F.col("centroid").alias("vec")),
+        k=1,
+        min_sim=threshold,
+        exclude_self=False,
+    )
+    return top.select(
+        F.col("query_id").alias("id"), F.col("item_id").alias("community"), "sim"
+    )
+
+
+def migrate_subgraph(
+    spark: SparkSession,
+    daily_assign: DataFrame,
+    daily_attrs: DataFrame,
+    daily_edges: DataFrame,
+    alltime_assign: DataFrame,
+    alltime_attrs: DataFrame,
+    alltime_edges: DataFrame,
+    orphan_attrs: DataFrame | None = None,
+    text_col: str = "text",
+    dim: int = 64,
+    threshold: float = CLUSTER_MATCH_THRESHOLD,
+    orphan_threshold: float = ORPHAN_MATCH_THRESHOLD,
+) -> tuple[DataFrame, DataFrame]:
+    """Full snapshot merge: (merged assignments, merged edge table).
+
+    The reference's migrate copies matched/unmatched clusters WITH their
+    related-entity edges into the all-time DB via MERGE
+    (eventMove.py:236-332, 334-436, 694-788); here the daily co-occurrence
+    edges join the all-time edge table with MERGE-on-(src,dst) semantics
+    (existing pairs keep their all-time row, new pairs append).
+    orphan_attrs, when given, are (id, text) vertices that were never
+    clustered daily (no community at all) — each is matched individually
+    against all-time centroids at orphan_threshold and added on success.
+    """
+    merged = migrate(
+        spark,
+        daily_assign,
+        daily_attrs,
+        alltime_assign,
+        alltime_attrs,
+        text_col,
+        dim,
+        threshold,
+        orphan_threshold,
+    )
+    if orphan_attrs is not None:
+        orphans = orphan_attrs.join(merged.select("id"), "id", "left_anti")
+        matched = match_orphan_vertices(
+            spark, orphans, alltime_assign, alltime_attrs, text_col, dim,
+            orphan_threshold,
+        )
+        merged = merged.unionByName(matched.select("id", "community"))
+    new_edges = daily_edges.join(
+        alltime_edges.select("src", "dst"), ["src", "dst"], "left_anti"
+    )
+    merged_edges = alltime_edges.unionByName(new_edges.select(*alltime_edges.columns))
+    return merged, merged_edges

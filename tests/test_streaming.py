@@ -72,3 +72,39 @@ def test_stream_ingestion_equals_batch(spark, tmp_path):
     es = {(r["src"], r["dst"]): (r["weight"], tuple(r["etypes"])) for r in edges_s.collect()}
     eb = {(r["src"], r["dst"]): (r["weight"], tuple(r["etypes"])) for r in edges_b.collect()}
     assert es == eb
+
+def test_migrate_subgraph_edges_and_orphans(spark):
+    """Edge MERGE + orphan-vertex matching (reference eventMove.py:236-332,
+    602-692): daily edges land row-for-row unless the pair already exists
+    all-time; a never-clustered orphan joins at ≥0.95, a dissimilar one
+    stays out."""
+    from louvain_spark.streaming.incremental import migrate_subgraph
+
+    at_assign = spark.createDataFrame([(1, 0), (2, 0)], "id long, community long")
+    at_attrs = spark.createDataFrame(
+        [(1, "alpha bravo charlie"), (2, "alpha bravo charlie")], "id long, text string"
+    )
+    at_edges = spark.createDataFrame([(1, 2, 3.0)], "src long, dst long, weight double")
+    d_assign = spark.createDataFrame([(10, 0), (11, 0)], "id long, community long")
+    d_attrs = spark.createDataFrame(
+        [(10, "alpha bravo charlie"), (11, "alpha bravo charlie")], "id long, text string"
+    )
+    # (1,2) already exists all-time (keeps weight 3.0); (10,11) is new
+    d_edges = spark.createDataFrame(
+        [(10, 11, 7.0), (1, 2, 9.0)], "src long, dst long, weight double"
+    )
+    # orphan 20: exact member text → sim 1.0 ≥ 0.95; orphan 21: unrelated
+    orphans = spark.createDataFrame(
+        [(20, "alpha bravo charlie"), (21, "qqq www zzz unrelated")],
+        "id long, text string",
+    )
+    merged, edges = migrate_subgraph(
+        spark, d_assign, d_attrs, d_edges, at_assign, at_attrs, at_edges,
+        orphan_attrs=orphans,
+    )
+    got = {r["id"]: r["community"] for r in merged.collect()}
+    assert got[1] == 0 and got[2] == 0 and got[10] == 0 and got[11] == 0
+    assert got[20] == 0          # orphan matched at ≥0.95
+    assert 21 not in got         # dissimilar orphan stays unassigned
+    e = {(r["src"], r["dst"]): r["weight"] for r in edges.collect()}
+    assert e == {(1, 2): 3.0, (10, 11): 7.0}

@@ -116,3 +116,17 @@ def test_turn_adjacency(spark):
         assert r["src"] < r["dst"]
         assert r["weight"] >= 1.0
         assert vt[r["src"]] == "tool" and vt[r["dst"]] == "tool"
+
+
+def test_etypes_correct_for_noncontiguous_vertex_ids(spark):
+    """A caller-supplied vertex table whose ids are NOT dense name-sorted
+    ranks must still get correct etypes (broadcast-join fallback — the
+    id-range shortcut is validated before use)."""
+    t = transcripts_df(spark, preset="tiny")
+    verts = entity_vertices(membership(t))
+    scrambled = verts.select((F.col("id") * 7 + 3).alias("id"), "name", "vtype")
+    _, e1 = cooccurrence_edges(t, vertices=verts, window=4)
+    _, e2 = cooccurrence_edges(t, vertices=scrambled, window=4)
+    m1 = {(r["src"], r["dst"]): (r["weight"], tuple(r["etypes"])) for r in e1.collect()}
+    m2 = {(r["src"], r["dst"]): (r["weight"], tuple(r["etypes"])) for r in e2.collect()}
+    assert m2 == {(7 * a + 3, 7 * b + 3): v for (a, b), v in m1.items()}
