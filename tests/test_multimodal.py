@@ -46,3 +46,64 @@ def test_frame_sample_plan(spark):
     rows = frame_sample_plan(media, every_ms=1000).collect()
     got = sorted((r["media_id"], r["frame_ts_ms"]) for r in rows)
     assert got == [(1, 0), (1, 1000), (1, 2000), (1, 3000)]
+
+
+def test_real_ppm_decode_and_feature(spark):
+    """Real image path: PPM payload → decoded pixel stats (no stub)."""
+    from louvain_spark.operators.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, size=(10, 8, 3), dtype=np.uint8)
+    payload = encode_ppm(img)
+    assert np.array_equal(decode_ppm(payload), img)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload), "ppm")],
+        "media_id long, kind string, payload binary, codec string",
+    )
+    row = extract_features(media, dim=16, strict=True).collect()[0]
+    v = np.array(row["feature"])
+    from louvain_spark.operators.multimodal import image_feature
+
+    want = image_feature(img)
+    assert abs(np.linalg.norm(want) - 1.0) < 1e-5
+    assert np.allclose(v[: len(want)], want[:16], atol=1e-6)
+
+
+def test_real_wav_decode_and_feature(spark):
+    from louvain_spark.operators.multimodal import audio_feature, decode_wav, encode_wav
+
+    t = np.arange(8000)
+    samples = (np.sin(2 * np.pi * 440 * t / 8000) * 20000).astype(np.int16)
+    payload = encode_wav(samples)
+    dec, rate = decode_wav(payload)
+    assert rate == 8000 and np.array_equal(dec, samples)
+    media = spark.createDataFrame(
+        [(7, "audio", bytearray(payload), "wav")],
+        "media_id long, kind string, payload binary, codec string",
+    )
+    row = extract_features(media, dim=16, strict=True).collect()[0]
+    want = audio_feature(samples)
+    assert np.allclose(np.array(row["feature"])[: len(want)], want, atol=1e-6)
+
+
+def test_real_video_frame_sampling(spark):
+    """PPMV container: sampled frames decode real pixels at the right ts."""
+    from louvain_spark.operators.multimodal import (
+        encode_ppmv,
+        image_feature,
+        sample_frames,
+    )
+
+    rng = np.random.RandomState(1)
+    frames = [rng.randint(0, 256, size=(6, 6, 3), dtype=np.uint8) for _ in range(5)]
+    payload = encode_ppmv(frames, frame_ms=40)  # 200ms clip
+    media = spark.createDataFrame(
+        [(3, "video", bytearray(payload), "ppmv")],
+        "media_id long, kind string, payload binary, codec string",
+    )
+    rows = sample_frames(media, every_ms=80, dim=16).collect()
+    got = sorted((r["frame_ts_ms"], r["frame_idx"]) for r in rows)
+    assert got == [(0, 0), (80, 2), (160, 4)]
+    by_ts = {r["frame_ts_ms"]: np.array(r["feature"]) for r in rows}
+    want = image_feature(frames[2])
+    assert np.allclose(by_ts[80][: len(want)], want, atol=1e-6)
