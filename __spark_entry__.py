@@ -6,9 +6,9 @@ entry(spark)      — flagship: Louvain over the events co-occurrence graph
                     re-expressed Spark-first).
 queries()         — one callable per implemented operator (SURVEY.md §2).
 oracle_sql()      — DuckDB-equivalent ANSI SQL for every SQL-expressible
-                    query (iterative float ops — PageRank/Louvain/LPA/
-                    SimHash — are rows-only by design; the pytest suite
-                    holds their numeric oracles instead).
+                    query (iterative float ops — PageRank/Louvain/LPA —
+                    are rows-only by design; the pytest suite holds their
+                    numeric oracles instead).
 
 Float columns are either exact (integer cents / count aggregates) or
 rounded after deterministic arithmetic so cross-engine hashes match.
@@ -320,8 +320,10 @@ def q_prev_event(spark, sf_dir):
 
 
 def q_simhash_docs(spark, sf_dir):
+    # md5-portable hash family so DuckDB replays the exact signature (the
+    # FNV default keeps its pytest oracle in test_dedup_textstats)
     docs = load(spark, sf_dir, "documents")
-    return simhash_signatures(docs).select("doc_id", "simhash")
+    return simhash_signatures(docs, hash_name="md5").select("doc_id", "simhash")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -618,8 +620,36 @@ def oracle_sql() -> dict[str, str]:
           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
         FROM events
         """,
-        # pagerank_events / louvain_events / lpa_events / simhash_docs:
-        # iterative or hash-kernel operators, rows-only by design — their
-        # numeric oracles (numpy power iteration, vendored python-louvain
-        # semantics, sync-LPA dict, FNV simhash) live in tests/.
+        "simhash_docs": """
+        WITH tok AS (
+          SELECT doc_id, word
+          FROM documents,
+               UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS t(word)
+          WHERE word != ''
+        ),
+        h AS (
+          SELECT doc_id, ('0x' || substr(md5(word), 1, 16))::UBIGINT AS hv
+          FROM tok
+        ),
+        bits AS (
+          SELECT doc_id, b AS bit,
+                 sum(CASE WHEN ((hv >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+          FROM h, (SELECT unnest(range(64)) AS b)
+          GROUP BY 1, 2
+        ),
+        sig AS (
+          SELECT doc_id,
+            sum(CASE WHEN s > 0 THEN (1::UBIGINT << bit) ELSE 0::UBIGINT END) AS u
+          FROM bits GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+          coalesce(CASE WHEN u >= 9223372036854775808::UBIGINT
+               THEN (u::HUGEINT - 18446744073709551616::HUGEINT)::BIGINT
+               ELSE u::BIGINT END, 0) AS simhash
+        FROM documents d LEFT JOIN sig USING (doc_id)
+        """,
+        # pagerank_events / louvain_events / lpa_events: iterative float
+        # operators, rows-only by design — their numeric oracles (numpy
+        # power iteration, vendored python-louvain semantics, sync-LPA
+        # dict) live in tests/.
     }

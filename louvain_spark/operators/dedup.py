@@ -234,13 +234,16 @@ def fnv1a_hash_tokens(tokens) -> np.ndarray:
     return h
 
 
-def simhash_batch(texts: pd.Series, bits: int = 64) -> np.ndarray:
+def simhash_batch(texts: pd.Series, bits: int = 64, hash_name: str = "fnv") -> np.ndarray:
     """Vectorized SimHash over a pandas batch of texts → int64 signatures.
 
-    tokenization (lower + whitespace split) → unique-token FNV-1a (each
+    tokenization (lower + whitespace split) → unique-token hash (each
     distinct token hashed once per batch) → per-doc signed bit-sums via
-    one scatter-add → sign → bit-pack. Bit-for-bit equal to the scalar
-    definition (pytest oracle in tests/test_dedup_textstats.py).
+    one segmented reduce → sign → bit-pack. hash_name='fnv' (default) is
+    the vectorized FNV-1a, bit-for-bit equal to the scalar definition
+    (pytest oracle); hash_name='md5' takes the first 8 big-endian bytes of
+    md5(token) — engine-portable, so DuckDB can replay the signature as an
+    oracle (same trick as the MinHash family).
     """
     s = texts.fillna("").astype(str).str.lower().str.split().reset_index(drop=True)
     flat = s.explode()
@@ -249,7 +252,22 @@ def simhash_batch(texts: pd.Series, bits: int = 64) -> np.ndarray:
         return np.zeros(len(texts), dtype=np.int64)
     doc_idx = flat.index.to_numpy()  # non-decreasing (explode preserves order)
     codes, uniq = pd.factorize(flat.to_numpy())
-    h = fnv1a_hash_tokens(list(uniq))[codes]  # per-occurrence token hash
+    if hash_name == "md5":
+        import hashlib
+
+        hu = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+                for t in uniq
+            ),
+            dtype=np.uint64,
+            count=len(uniq),
+        )
+    elif hash_name == "fnv":
+        hu = fnv1a_hash_tokens(list(uniq))
+    else:
+        raise ValueError(f"unknown hash_name: {hash_name!r}")
+    h = hu[codes]  # per-occurrence token hash
     bit_idx = np.arange(bits, dtype=np.uint64)
     # ones-count per (doc, bit) via one segmented reduce over the
     # occurrence-ordered bit matrix; signed sum = 2·ones − n_tokens
@@ -267,18 +285,23 @@ def simhash_batch(texts: pd.Series, bits: int = 64) -> np.ndarray:
 
 
 def simhash_signatures(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    hash_name: str = "fnv",
 ) -> DataFrame:
-    """(doc_id, simhash: long) — signed bit-sum over token FNV hashes.
+    """(doc_id, simhash: long) — signed bit-sum over per-token hashes.
 
     Arrow-batched pandas UDF; the batch kernel is fully vectorized
-    (simhash_batch: unique tokens hashed once, one scatter-add per batch).
-    FNV-1a per token for cross-run determinism.
+    (simhash_batch: unique tokens hashed once, one segmented reduce per
+    batch). hash_name='fnv' for cross-run determinism (pytest oracle),
+    'md5' for DuckDB-replayable signatures.
     """
 
     @F.pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
-        return pd.Series(simhash_batch(texts, bits))
+        return pd.Series(simhash_batch(texts, bits, hash_name))
 
     return docs.select(F.col(id_col).alias("doc_id"), _simhash(F.col(text_col)).alias("simhash"))
 
