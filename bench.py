@@ -203,6 +203,9 @@ def run_subprocess(
     return json.loads(line)
 
 
+STAGES = ("induce_edges", "connected_components", "pagerank_10it", "louvain_parallel")
+
+
 def scaling(sf_dir: str) -> None:
     """N vs 4N parallelism on the same input (sandbox proxy for the
     north_rule's two-cluster-size scaling criterion).
@@ -214,22 +217,44 @@ def scaling(sf_dir: str) -> None:
       memory) via the driver-heap env;
     - N defaults to 2 (→ 4N=8): this sandbox is a shared VM whose own
       measured pure-CPU ceiling at 32 threads is ~0.67, so the 8↔32 pair
-      measures the host, not the engine (see appendix note in the output).
+      measures the host, not the engine (see appendix note in the output);
+    - preset 'scale4' (19M turns): per-run serial floor (job scheduling,
+      range-sampler, plan time, ~10-15s) must be small against per-core
+      work, or the pair measures overhead amortization, not partitioning;
+    - host-noise guard: any stage with speedup < 1.0 at 4× cores flags a
+      contended run → both levels re-measured once, per-stage min taken
+      (the shared VM shows multi-minute interference spikes).
     """
-    preset = os.environ.get("SPARK_GRAFT_SCALING_PRESET", "scale")
+    preset = os.environ.get("SPARK_GRAFT_SCALING_PRESET", "scale4")
     n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
     n4 = 4 * n
-    r_small = run_subprocess(sf_dir, n, preset=preset, mem=f"{3 * n}g")
-    r_big = run_subprocess(sf_dir, n4, preset=preset, mem=f"{3 * n4}g")
+
+    def measure_pair():
+        rs = run_subprocess(sf_dir, n, preset=preset, mem=f"{3 * n}g")
+        rb = run_subprocess(sf_dir, n4, preset=preset, mem=f"{3 * n4}g")
+        return rs, rb
+
+    attempts = [measure_pair()]
+    anomaly = any(
+        attempts[0][0]["queries"][k] < attempts[0][1]["queries"][k] for k in STAGES
+    )
+    if anomaly:
+        attempts.append(measure_pair())
+
+    def best(level: int, key: str) -> float:
+        return min(a[level]["queries"][key] for a in attempts)
+
+    r_small, r_big = attempts[0]
     rows = []
     effs = {}
-    for key in ("induce_edges", "connected_components", "pagerank_10it", "louvain_parallel"):
-        t_s, t_b = r_small["queries"][key], r_big["queries"][key]
+    for key in STAGES:
+        t_s, t_b = best(0, key), best(1, key)
         eff = t_s / (4.0 * t_b) if t_b > 0 else float("nan")
         effs[key] = round(eff, 3)
         rows.append((key, t_s, t_b, round(t_s / t_b, 2), round(eff, 3)))
-    eps_s = r_small["extra"]["edges_per_sec"]
-    eps_b = r_big["extra"]["edges_per_sec"]
+    n_edges = r_small["extra"]["edges"]
+    eps_s = round(n_edges / best(0, "induce_edges"), 1)
+    eps_b = round(n_edges / best(1, "induce_edges"), 1)
     eff_eps = round(eps_b / (4.0 * eps_s), 3)
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -252,6 +277,10 @@ def scaling(sf_dir: str) -> None:
         f.write("|---|---|---|---|---|\n")
         for name, t_s, t_b, sp, eff in rows:
             f.write(f"| {name} | {t_s} | {t_b} | {sp}x | {eff} |\n")
+        f.write(
+            f"\npreset={preset}; attempts per level: {len(attempts)}"
+            f"{' (host-noise anomaly → re-measured, per-stage min)' if len(attempts) > 1 else ''}\n"
+        )
         f.write(
             "\n### Why N=2 (not 8↔32)\n\n"
             "This sandbox is a shared VM: a pure-CPU microbenchmark "

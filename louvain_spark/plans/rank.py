@@ -31,8 +31,14 @@ def dense_sorted_rank(
     Input rows must be distinct on order_col for the rank to be a dense id
     (callers pass dictionaries, which are). Output keeps all input columns.
     """
+    # materialize the (small) dictionary once BEFORE range partitioning:
+    # the range partitioner runs a separate sampling job over its input,
+    # which would otherwise re-execute the caller's whole distinct/shuffle
+    # lineage a second time
+    src = df.persist()
+    src.count()
     parts = (
-        df.repartitionByRange(partitions, order_col)
+        src.repartitionByRange(partitions, order_col)
         .sortWithinPartitions(order_col)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
@@ -55,4 +61,5 @@ def dense_sorted_rank(
     if checkpoint:
         out = out.localCheckpoint(eager=True)
         parts.unpersist()
+        src.unpersist()
     return out
