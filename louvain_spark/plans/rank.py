@@ -31,12 +31,11 @@ def dense_sorted_rank(
     Input rows must be distinct on order_col for the rank to be a dense id
     (callers pass dictionaries, which are). Output keeps all input columns.
     """
-    # materialize the (small) dictionary once BEFORE range partitioning:
-    # the range partitioner runs a separate sampling job over its input,
-    # which would otherwise re-execute the caller's whole distinct/shuffle
-    # lineage a second time
+    # cache the (small) dictionary: the range partitioner runs a separate
+    # sampling job over its input, which would otherwise re-execute the
+    # caller's whole distinct/shuffle lineage a second time (the sampling
+    # job itself materializes the cache — no extra count pass)
     src = df.persist()
-    src.count()
     parts = (
         src.repartitionByRange(partitions, order_col)
         .sortWithinPartitions(order_col)
