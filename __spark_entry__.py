@@ -39,7 +39,11 @@ from louvain_spark.operators.lpa import label_propagation
 from louvain_spark.operators.louvain import louvain
 from louvain_spark.operators.pagerank import pagerank
 from louvain_spark.operators.quality import modularity
-from louvain_spark.operators.similarity import cosine_topk_brute
+from louvain_spark.operators.similarity import (
+    cosine_topk_brute,
+    cosine_topk_lsh,
+    rademacher_planes,
+)
 from louvain_spark.operators.textstats import (
     language_id,
     quality_scores,
@@ -311,6 +315,29 @@ def q_ann_topk(spark, sf_dir):
     )
 
 
+def _unit_embeddings(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    norm = F.sqrt(F.aggregate(F.col("embedding"), F.lit(0.0), lambda a, x: a + x * x))
+    return emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x / norm).alias("vec"),
+    )
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    """Approximate ANN scale path: sign-random-projection LSH buckets →
+    exact re-rank of candidates (md5-seeded Rademacher planes, so the
+    DuckDB oracle replays the identical bucketing)."""
+    unit = _unit_embeddings(spark, sf_dir)
+    top = cosine_topk_lsh(
+        spark, unit.where(F.col("id") < 20), unit,
+        k=5, dim=64, n_planes=6, n_tables=3,
+    )
+    return top.select(
+        "query_id", "item_id", "rank", F.round("sim", 4).alias("sim_r4")
+    )
+
+
 def q_prev_event(spark, sf_dir):
     events = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -356,6 +383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores_docs": q_quality_docs,
         "language_id_docs": q_language_id_docs,
         "ann_topk_embeddings": q_ann_topk,
+        "lsh_ann_topk_embeddings": q_lsh_ann_topk,
         "prev_event_per_user": q_prev_event,
         "simhash_docs": q_simhash_docs,
     }
@@ -450,6 +478,55 @@ ranked AS (
 )
 SELECT query_id, item_id, rank::INT AS rank, round(sim, 4) AS sim_r4
 FROM ranked WHERE rank <= 5
+"""
+
+
+def _lsh_ann_sql(dim: int = 64, n_planes: int = 6, n_tables: int = 3, k: int = 5) -> str:
+    """DuckDB twin of q_lsh_ann_topk — identical md5-seeded ±1 planes
+    rendered as SQL literals, same bucket join + exact re-rank."""
+    planes = rademacher_planes(dim, n_planes, n_tables)
+
+    def bucket(t: int) -> str:
+        bits = " || ".join(
+            "(CASE WHEN list_sum(list_transform(list_zip(vec, ["
+            + ",".join(str(x) for x in row)
+            + "]::DOUBLE[]), x -> x[1]*x[2])) >= 0 THEN '1' ELSE '0' END)"
+            for row in planes[t]
+        )
+        return f"'{t}:' || {bits}"
+
+    buckets = ", ".join(bucket(t) for t in range(n_tables))
+    return f"""
+WITH unit AS (
+  SELECT vec_id AS id,
+    list_transform(embedding::DOUBLE[], x -> x / sqrt(
+      list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS vec
+  FROM embeddings
+),
+qb AS (
+  SELECT id AS query_id, vec, b
+  FROM unit, UNNEST([{buckets}]) AS u(b) WHERE id < 20
+),
+ib AS (
+  SELECT id AS item_id, vec, b
+  FROM unit, UNNEST([{buckets}]) AS u(b)
+),
+cand AS (
+  SELECT DISTINCT query_id, item_id
+  FROM qb JOIN ib USING (b) WHERE query_id != item_id
+),
+scored AS (
+  SELECT c.query_id, c.item_id,
+    list_sum(list_transform(list_zip(q.vec, i.vec), x -> x[1]*x[2])) AS sim
+  FROM cand c JOIN unit q ON c.query_id = q.id JOIN unit i ON c.item_id = i.id
+),
+ranked AS (
+  SELECT query_id, item_id, sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, item_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, item_id, rank::INT AS rank, round(sim, 4) AS sim_r4
+FROM ranked WHERE rank <= {k}
 """
 
 
@@ -615,6 +692,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores_docs": _QUALITY_SQL,
         "language_id_docs": _LANG_SQL,
         "ann_topk_embeddings": _ANN_SQL,
+        "lsh_ann_topk_embeddings": _lsh_ann_sql(),
         "prev_event_per_user": """
         SELECT event_id, user_id,
           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type

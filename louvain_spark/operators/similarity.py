@@ -150,3 +150,109 @@ def cosine_topk_blocked(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("item_id").asc())
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= kk)
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed approximate ANN (the 100TB scale path)
+# ---------------------------------------------------------------------------
+
+def rademacher_planes(
+    dim: int, n_planes: int, n_tables: int, seed: int = 42
+) -> list[list[list[float]]]:
+    """±1 sign-projection planes, deterministically derived from md5 —
+    the same bytes on any engine, so an oracle can replay the bucketing
+    (planes[table][plane][i] ∈ {+1.0, -1.0})."""
+    import hashlib
+
+    return [
+        [
+            [
+                1.0
+                if hashlib.md5(f"{seed}:{t}:{p}:{i}".encode()).digest()[0] < 128
+                else -1.0
+                for i in range(dim)
+            ]
+            for p in range(n_planes)
+        ]
+        for t in range(n_tables)
+    ]
+
+
+def _bucket_expr(vec_col, planes_t: list[list[float]], table: int):
+    """Bucket key for one hash table: sign bits of the vector's projection
+    onto each ±1 plane, packed into a string — pure Catalyst (zip_with /
+    aggregate HOFs), no Python in the hot path."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    F.array(*[F.lit(x) for x in row]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for row in planes_t
+    ]
+    return F.concat(F.lit(f"{table}:"), *bits)
+
+
+def cosine_topk_lsh(
+    spark: SparkSession,
+    queries: DataFrame,
+    items: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    q_id: str = "id",
+    q_vec: str = "vec",
+    i_id: str = "id",
+    i_vec: str = "vec",
+    min_sim: float | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """APPROXIMATE top-k cosine via sign-random-projection LSH.
+
+    Each of n_tables tables buckets vectors by the sign pattern of
+    n_planes Rademacher projections; candidates are pairs sharing a
+    bucket in ANY table, scored exactly (JVM dot) and window-top-k'd.
+    Cost is Σ bucket-cell sizes (expected |Q|·|I| / 2^n_planes per
+    table) instead of |Q|·|I|: the scale path when even the blocked
+    nested-loop is too much. Recall rises with n_tables, selectivity
+    with n_planes. Deterministic (md5-seeded planes) and fully
+    SQL-expressible — the driver oracle replays it verbatim.
+    """
+    planes = rademacher_planes(dim, n_planes, n_tables, seed)
+    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv"))
+    i = items.select(F.col(i_id).alias("item_id"), F.col(i_vec).alias("_iv"))
+    qb = q.select(
+        "query_id",
+        "_qv",
+        F.explode(
+            F.array(*[_bucket_expr(F.col("_qv"), planes[t], t) for t in range(n_tables)])
+        ).alias("bucket"),
+    )
+    ib = i.select(
+        "item_id",
+        "_iv",
+        F.explode(
+            F.array(*[_bucket_expr(F.col("_iv"), planes[t], t) for t in range(n_tables)])
+        ).alias("bucket"),
+    )
+    cand = qb.join(ib, "bucket")
+    if exclude_self:
+        cand = cand.where(F.col("query_id") != F.col("item_id"))
+    cand = cand.dropDuplicates(["query_id", "item_id"])
+    scored = cand.select(
+        "query_id", "item_id", dot_col(F.col("_qv"), F.col("_iv")).alias("sim")
+    )
+    if min_sim is not None:
+        scored = scored.where(F.col("sim") >= min_sim)
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("item_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

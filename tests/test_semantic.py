@@ -135,3 +135,34 @@ def test_topk_blocked_multichunk_matches_brute(spark):
     assert norm(brute) == norm(blocked)
     src = inspect.getsource(similarity.cosine_topk_blocked)
     assert ".collect()" not in src and "broadcast" not in src
+
+
+def test_lsh_ann_recall_and_exact_rerank(spark):
+    """LSH-bucketed approximate ANN: high recall on clustered vectors
+    (near neighbors share sign-projection buckets), and every returned
+    sim is the exact dot product (re-rank is exact, only the candidate
+    set is approximate)."""
+    from louvain_spark.operators.similarity import cosine_topk_lsh
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(8, 16)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = []
+    for m in range(48):
+        v = centers[m % 8] + 0.05 * rng.randn(16)
+        vecs.append(v / np.linalg.norm(v))
+    vecs = np.array(vecs, dtype=np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(48)],
+        "id long, vec array<double>",
+    )
+    brute = cosine_topk_brute(df, df, k=3).collect()
+    lsh = cosine_topk_lsh(
+        spark, df, df, k=3, dim=16, n_planes=4, n_tables=8, seed=1
+    ).collect()
+    want = {(r["query_id"], r["item_id"]) for r in brute}
+    got = {(r["query_id"], r["item_id"]) for r in lsh}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.8, recall
+    for r in lsh:
+        assert abs(r["sim"] - float(vecs[r["query_id"]] @ vecs[r["item_id"]])) < 1e-9
