@@ -86,3 +86,28 @@ def test_cc_resume_equals_uninterrupted(spark, tmp_path):
     assert set(ledger.columns) >= {
         "run_id", "operator", "superstep", "partition_id", "rows_out", "wall_ms",
     }
+
+
+def test_ledger_partition_rows_match_checkpoint(spark, tmp_path):
+    """Footer-derived ledger rows must reconcile exactly with the
+    checkpointed state: per-partition rows_out sums to the parquet row
+    count for every durable superstep."""
+    from louvain_spark.plans.loop import SuperstepRunner
+    from tests.conftest import edges_df
+
+    e = edges_df(spark, [(0, 1, 1.0), (1, 2, 1.0), (3, 4, 1.0)])
+    verts = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    d = str(tmp_path / "ck")
+    runner = SuperstepRunner(spark, "run-l", "cc", checkpoint_dir=d)
+    connected_components(spark, e, vertices=verts, runner=runner)
+    ledger = spark.read.parquet(runner.ledger_path)
+    rows = (
+        ledger.where(F.col("checkpoint_path").isNotNull())
+        .groupBy("superstep", "checkpoint_path")
+        .agg(F.sum("rows_out").alias("total"), F.min("partition_id").alias("min_pid"))
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r["min_pid"] >= 0
+        assert r["total"] == spark.read.parquet(r["checkpoint_path"]).count()
