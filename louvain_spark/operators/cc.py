@@ -18,31 +18,37 @@ from louvain_spark.plans.loop import StepResult, SuperstepRunner
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """For each u: m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u."""
+    """For each u: m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u.
+
+    The per-u neighborhood minimum rides a window over the symmetric view
+    (ONE shuffle per rewrite) instead of a groupBy + self-join (two)."""
+    from pyspark.sql import Window
+
     sym = symmetrize(edges)
-    m = sym.groupBy("src").agg(F.min("dst").alias("_mn"))
-    m = m.select("src", F.least("src", "_mn").alias("_m"))
-    out = (
-        sym.join(m, "src")
-        .where(F.col("dst") > F.col("src"))
-        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+    w = Window.partitionBy("src")
+    tagged = sym.withColumn("_m", F.least(F.col("src"), F.min("dst").over(w)))
+    out = tagged.where(F.col("dst") > F.col("src")).select(
+        F.col("dst").alias("src"), F.col("_m").alias("dst")
     )
     return canonicalize(out)
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Orient u = max(pair); m = min(Γ_small(u) ∪ {u});
-    emit (v, m) for v ∈ Γ_small(u) ∪ {u}, v ≠ m."""
+    emit (v, m) for v ∈ Γ_small(u) ∪ {u}, v ≠ m. Window-min, one shuffle."""
+    from pyspark.sql import Window
+
     oriented = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     )
-    m = oriented.groupBy("src").agg(F.min("dst").alias("_m"))
-    out1 = (
-        oriented.join(m, "src")
-        .where(F.col("dst") != F.col("_m"))
-        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+    w = Window.partitionBy("src")
+    tagged = oriented.withColumn("_m", F.min("dst").over(w))
+    out1 = tagged.where(F.col("dst") != F.col("_m")).select(
+        F.col("dst").alias("src"), F.col("_m").alias("dst")
     )
-    out2 = m.select("src", F.col("_m").alias("dst"))
+    # out2 one row per edge (not per distinct src) — canonicalize's
+    # distinct dedups the union in the same shuffle
+    out2 = tagged.select("src", F.col("_m").alias("dst"))
     return canonicalize(out1.unionByName(out2))
 
 
