@@ -29,6 +29,7 @@ from louvain_spark.functions.scalars import json_decode, json_encode
 from louvain_spark.operators.cc import connected_components
 from louvain_spark.operators.clusters import cluster_summary
 from louvain_spark.operators.dedup import (
+    embedding_near_dup_pairs,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -338,6 +339,15 @@ def q_lsh_ann_topk(spark, sf_dir):
     )
 
 
+def q_near_dup_embeddings(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (dedup family). Threshold 0.42 fits
+    the synthetic embeddings' sim distribution (max pairwise sim ≈ 0.51 —
+    real corpora use ~0.95); candidate generation is exact blocked top-k."""
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.42, k=20)
+    return pairs.select("src", "dst", F.round("sim", 4).alias("sim_r4"))
+
+
 def q_prev_event(spark, sf_dir):
     events = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -384,6 +394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id_docs": q_language_id_docs,
         "ann_topk_embeddings": q_ann_topk,
         "lsh_ann_topk_embeddings": q_lsh_ann_topk,
+        "near_dup_embeddings": q_near_dup_embeddings,
         "prev_event_per_user": q_prev_event,
         "simhash_docs": q_simhash_docs,
     }
@@ -693,6 +704,18 @@ def oracle_sql() -> dict[str, str]:
         "language_id_docs": _LANG_SQL,
         "ann_topk_embeddings": _ANN_SQL,
         "lsh_ann_topk_embeddings": _lsh_ann_sql(),
+        "near_dup_embeddings": """
+        WITH unit AS (
+          SELECT vec_id AS id,
+            list_transform(embedding::DOUBLE[], x -> x / sqrt(
+              list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS vec
+          FROM embeddings
+        )
+        SELECT q.id AS src, i.id AS dst,
+          round(list_sum(list_transform(list_zip(q.vec, i.vec), x -> x[1]*x[2])), 4) AS sim_r4
+        FROM unit q JOIN unit i ON q.id < i.id
+        WHERE list_sum(list_transform(list_zip(q.vec, i.vec), x -> x[1]*x[2])) >= 0.42
+        """,
         "prev_event_per_user": """
         SELECT event_id, user_id,
           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type

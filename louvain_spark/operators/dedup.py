@@ -10,7 +10,8 @@ string minima — md5 is identical across engines, unlike xxhash64):
   band buckets via md5(band signature) → bucket join for candidates
 - SimHash: 64-bit signed-bit-sum signature via vectorized pandas UDF
   (Arrow batches), Hamming-distance candidate filter
-- embedding cosine near-dup: see similarity.cosine_topk_* (delegated)
+- embedding cosine near-dup: embedding_near_dup_pairs (exact blocked
+  top-k or LSH-bucketed approximate candidates, threshold filter)
 
 Scale notes: every join here is keyed by content-derived digests, which
 hash-distribute uniformly (no skew salting needed except the shingle join,
@@ -356,3 +357,52 @@ def simhash_pairs(
         "src", "dst", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
     return out
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 50,
+    approximate: bool = False,
+    dim: int = 64,
+) -> DataFrame:
+    """(src, dst, sim) canonical near-duplicate pairs by embedding cosine.
+
+    Vectors are L2-normalized in-plan (HOFs, no Python); candidate
+    generation is per-query top-k (each near-dup pair surfaces from
+    either endpoint's top-k, so pairs with more than k neighbors above
+    threshold are still found as long as either side lists the other).
+    approximate=True routes through the LSH-bucketed scale path
+    (similarity.cosine_topk_lsh) instead of the exact blocked join.
+    """
+    from louvain_spark.operators.similarity import (
+        cosine_topk_blocked,
+        cosine_topk_lsh,
+        dot_col,
+    )
+
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x
+        )
+    )
+    unit = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: x / norm).alias("vec"),
+    )
+    spark = embeddings.sparkSession
+    topk = (cosine_topk_lsh if approximate else cosine_topk_blocked)(
+        spark, unit, unit, k=k, min_sim=threshold, exclude_self=True,
+        **({"dim": dim} if approximate else {}),
+    )
+    return (
+        topk.select(
+            F.least("query_id", "item_id").alias("src"),
+            F.greatest("query_id", "item_id").alias("dst"),
+            "sim",
+        )
+        .groupBy("src", "dst")
+        .agg(F.max("sim").alias("sim"))
+    )

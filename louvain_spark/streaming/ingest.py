@@ -107,3 +107,50 @@ def compact_increments(spark: SparkSession, increments_dir: str) -> tuple[DataFr
         )
     )
     return verts, edges
+
+
+def stream_windowed_rates(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """Watermarked event-time windowed aggregation over the transcript
+    stream: per (window, role) turn counts in APPEND mode.
+
+    The canonical Structured Streaming shape for late data: rows later
+    than `watermark` behind the max event time are dropped by the engine,
+    and a window's row is emitted exactly once — when the watermark
+    passes its end (finalized) — so the parquet sink only ever holds
+    closed windows. Complements foreachBatch ingestion
+    (stream_edge_increments), whose exactness contract is restored at
+    compaction instead.
+    """
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("role"))
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "role",
+            "n_turns",
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

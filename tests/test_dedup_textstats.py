@@ -215,3 +215,33 @@ def test_lsh_verify_threshold_on_candidates_only(spark):
         sa, sb = _py_shingles(texts[a]), _py_shingles(texts[b])
         if sa | sb and len(sa & sb) / len(sa | sb) >= 0.5:
             assert (a, b) in verified
+
+
+def test_embedding_near_dup_exact_and_approximate(spark):
+    """Near-dup pairs by cosine: exact blocked path finds all pairs above
+    threshold; the LSH approximate path agrees on well-separated dups."""
+    from louvain_spark.operators.dedup import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(6, 16)
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(2):  # two noisy copies of each base vector → dup pair
+            v = b + 0.01 * rng.randn(16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["src"], r["dst"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.95, k=5).collect()
+    }
+    want = {(2 * i, 2 * i + 1) for i in range(6)}
+    assert got == want
+    approx = {
+        (r["src"], r["dst"])
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.95, k=5, approximate=True, dim=16
+        ).collect()
+    }
+    assert approx == want

@@ -108,3 +108,41 @@ def test_migrate_subgraph_edges_and_orphans(spark):
     assert 21 not in got         # dissimilar orphan stays unassigned
     e = {(r["src"], r["dst"]): r["weight"] for r in edges.collect()}
     assert e == {(1, 2): 3.0, (10, 11): 7.0}
+
+
+def test_stream_windowed_rates_watermark(spark, tmp_path):
+    """Watermarked windowed aggregation: emitted rows are exactly the
+    batch per-(window, role) counts for FINALIZED windows (window end ≤
+    max event time − watermark); open windows are withheld."""
+    import datetime as dt
+
+    from louvain_spark.streaming.ingest import stream_windowed_rates
+
+    t = transcripts_df(spark, n_conv=300, seed=9)  # ts spans ~25h
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    t.repartition(8).write.mode("overwrite").parquet(in_dir)
+
+    q = stream_windowed_rates(
+        spark, in_dir, out_dir, ckpt, window="1 hour", watermark="2 hours"
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["win_start"], r["role"]): r["n_turns"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    max_ts = t.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - dt.timedelta(hours=2)
+    batch = (
+        t.groupBy(F.window("ts", "1 hour").alias("win"), "role")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("ws"), F.col("win.end").alias("we"), "role", "n"
+        )
+        .collect()
+    )
+    want = {(r["ws"], r["role"]): r["n"] for r in batch if r["we"] <= horizon}
+    open_windows = {(r["ws"], r["role"]) for r in batch if r["we"] > horizon}
+    assert got == want
+    assert not (set(got) & open_windows)
+    assert len(got) > 5
