@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -380,7 +380,6 @@ def embedding_near_dup_pairs(
     from louvain_spark.operators.similarity import (
         cosine_topk_blocked,
         cosine_topk_lsh,
-        dot_col,
     )
 
     norm = F.sqrt(

@@ -15,7 +15,6 @@ of the reference's JSON/xlsx/Neo4j IO.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
