@@ -26,8 +26,12 @@ def label_propagation(
     max_iter: int = 20,
     runner: SuperstepRunner | None = None,
     broadcast_nodes: int = 4_000_000,
+    start_state: DataFrame | None = None,
 ) -> DataFrame:
     """assignments(id, community) — community = converged label (init: own id).
+
+    Pass (runner, start_state) from SuperstepRunner.resume to continue an
+    interrupted run mid-iteration from its last durable checkpoint.
 
     Below broadcast_nodes vertices the per-superstep label table ships as
     broadcast hash joins (one shuffle per superstep: the histogram
@@ -42,8 +46,11 @@ def label_propagation(
     ids = vertex_ids(edges, vertices).persist()
     jb = F.broadcast if ids.count() <= broadcast_nodes else (lambda df: df)
 
-    labels = ids.select("id", F.col("id").alias("community"))
-    labels = runner.advance(StepResult(labels))
+    if start_state is not None:
+        labels = start_state
+    else:
+        labels = ids.select("id", F.col("id").alias("community"))
+        labels = runner.advance(StepResult(labels))
 
     for _ in range(max_iter):
         hist = (

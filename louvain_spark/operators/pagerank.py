@@ -32,8 +32,12 @@ def pagerank(
     directed: bool = False,
     runner: SuperstepRunner | None = None,
     broadcast_nodes: int = 4_000_000,
+    start_state: DataFrame | None = None,
 ) -> DataFrame:
     """scores(id, score) summing to 1.0 at convergence.
+
+    Pass (runner, start_state) from SuperstepRunner.resume to continue an
+    interrupted run mid-iteration from its last durable checkpoint.
 
     Below broadcast_nodes vertices the per-superstep rank/contrib/dangling
     dimension tables ship as broadcast hash joins — the only shuffle per
@@ -66,8 +70,11 @@ def pagerank(
 
     jb = F.broadcast if n <= broadcast_nodes else (lambda df: df)
 
-    ranks = ids.select("id", F.lit(1.0 / n).alias("score"))
-    ranks = runner.advance(StepResult(ranks))
+    if start_state is not None:
+        ranks = start_state
+    else:
+        ranks = ids.select("id", F.lit(1.0 / n).alias("score"))
+        ranks = runner.advance(StepResult(ranks))
     # dangling = vertices with no out-edges; mark once (tiny, loop-invariant)
     dangle_ids = ids.join(
         out_strength.select(F.col("src").alias("id")), "id", "left_anti"

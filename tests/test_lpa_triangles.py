@@ -91,3 +91,27 @@ def test_triangles_ring_of_cliques(spark):
     g = graphs.to_nx(edges, n)
     e = edges_df(spark, edges)
     assert triangle_count(e) == sum(nx.triangles(g).values()) // 3
+
+
+def test_lpa_resume_matches_uninterrupted(spark, tmp_path):
+    """LPA resumes mid-iteration from the durable checkpoint with the
+    identical final labeling (synchronous updates are deterministic)."""
+    from louvain_spark.plans.loop import SuperstepRunner
+
+    edges, n = graphs.g_ring_of_cliques(k=4, c=5)
+    e = edges_df(spark, edges)
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+
+    full = label_propagation(spark, e, vertices=verts, max_iter=8)
+    want = {r["id"]: r["community"] for r in full.collect()}
+
+    d = str(tmp_path / "ck")
+    r1 = SuperstepRunner(spark, "lpa-run", "lpa", checkpoint_dir=d)
+    label_propagation(spark, e, vertices=verts, max_iter=2, runner=r1)
+    r2, state, step = SuperstepRunner.resume(spark, "lpa-run", "lpa", d)
+    assert step >= 1 and state is not None
+    resumed = label_propagation(
+        spark, e, vertices=verts, max_iter=6, runner=r2, start_state=state
+    )
+    got = {r["id"]: r["community"] for r in resumed.collect()}
+    assert got == want

@@ -93,3 +93,30 @@ def test_pagerank_tol_early_stop(spark):
     for r in got.collect():
         gotv[r["id"]] = r["score"]
     assert np.allclose(gotv, want, atol=1e-9)
+
+
+def test_pagerank_resume_matches_uninterrupted(spark, tmp_path):
+    """north_rule resumability: stop after 4 supersteps, resume from the
+    durable checkpoint, finish — scores identical to the uninterrupted run."""
+    from louvain_spark.plans.loop import SuperstepRunner
+
+    edges, n = graphs.g_random(40, 0.1, seed=6, weighted=True)
+    e = edges_df(spark, edges)
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+
+    full = pagerank(spark, e, vertices=verts, max_iter=10, tol=0.0)
+    want = {r["id"]: r["score"] for r in full.collect()}
+
+    d = str(tmp_path / "ck")
+    r1 = SuperstepRunner(spark, "pr-run", "pagerank", checkpoint_dir=d)
+    pagerank(spark, e, vertices=verts, max_iter=4, tol=0.0, runner=r1)
+
+    r2, state, step = SuperstepRunner.resume(spark, "pr-run", "pagerank", d)
+    assert step == 4 and state is not None
+    resumed = pagerank(
+        spark, e, vertices=verts, max_iter=6, tol=0.0, runner=r2, start_state=state
+    )
+    got = {r["id"]: r["score"] for r in resumed.collect()}
+    assert set(got) == set(want)
+    for i in want:
+        assert abs(got[i] - want[i]) < 1e-12, i
