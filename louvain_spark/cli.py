@@ -50,7 +50,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--window", type=int, default=8)
     p.add_argument("--resolution", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--mode", default="parallel", choices=["exact", "parallel"])
+    p.add_argument("--mode", default="auto", choices=["exact", "parallel", "auto"])
     p.add_argument("--weight-col", default="weight")
     p.add_argument("--max-iter", type=int, default=100)
     p.add_argument("--tol", type=float, default=1e-8)
@@ -119,6 +119,29 @@ def main(argv: list[str] | None = None) -> int:
             from louvain_spark.operators.cc import connected_components
 
             out = connected_components(spark, inp, runner=runner, start_state=state)
+        elif args.operator == "pagerank":
+            from louvain_spark.operators.pagerank import pagerank
+
+            out = pagerank(
+                spark, inp, weight_col=args.weight_col, max_iter=args.max_iter,
+                tol=args.tol, runner=runner, start_state=state,
+            )
+        elif args.operator == "lpa":
+            from louvain_spark.operators.lpa import label_propagation
+
+            out = label_propagation(
+                spark, inp, weight_col=args.weight_col, max_iter=args.max_iter,
+                runner=runner, start_state=state,
+            )
+        elif args.operator.startswith("louvain"):
+            from louvain_spark.operators.louvain import resume_louvain
+
+            out, mod = resume_louvain(
+                spark, args.run_id, args.checkpoint_dir,
+                resolution=args.resolution, seed=args.seed,
+                mode=args.operator.removeprefix("louvain-") or args.mode,
+            )
+            print(f"modularity={mod}")
         else:
             print(f"resume not wired for operator {args.operator}", file=sys.stderr)
             return 4
