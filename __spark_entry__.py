@@ -276,10 +276,13 @@ def q_lsh_pairs_docs(spark, sf_dir):
 
 
 def q_token_stats_docs(spark, sf_dir):
+    from louvain_spark.operators.textstats import bpe_token_count, token_count
+
     docs = load(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z0-9_']+"), 0)).alias("n_tokens"),
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_token_count(F.col("text")).alias("n_tokens_bpe"),
         F.length("text").alias("n_chars_engine"),
     )
 
@@ -697,6 +700,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_stats_docs": f"""
         SELECT doc_id, len({_TOKENS}) AS n_tokens,
+               len(regexp_extract_all(text,
+                 '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))
+                 AS n_tokens_bpe,
                length(text) AS n_chars_engine
         FROM documents
         """,

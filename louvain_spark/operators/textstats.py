@@ -21,10 +21,23 @@ LANG_MARKERS = {
 
 TOKEN_RE = r"[A-Za-z0-9_']+"
 
+# GPT-2-style pretokenizer, restricted to the lookahead-free ASCII subset
+# so Java regex (Spark) and RE2 (DuckDB) agree match-for-match: English
+# contractions, space-prefixed letter runs, space-prefixed digit runs,
+# space-prefixed punctuation runs, residual whitespace runs. The match
+# COUNT approximates the BPE pretoken count (each pretoken splits into
+# ≥1 BPE pieces; this is the standard cheap token-budget estimator).
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
 
 def token_count(col):
-    """Whitespace/punct token count via regexp_extract_all (BPE-ish regex)."""
+    """Word-token count via regexp_extract_all."""
     return F.size(F.regexp_extract_all(col, F.lit(TOKEN_RE), 0))
+
+
+def bpe_token_count(col):
+    """BPE-ish pretoken count (GPT-2 pretokenizer shape, see BPE_SPLIT_RE)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_SPLIT_RE), 0))
 
 
 def with_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -32,6 +45,7 @@ def with_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumns(
         {
             "n_tokens": token_count(t),
+            "n_tokens_bpe": bpe_token_count(t),
             "n_chars_engine": F.length(t),
             "n_words": F.size(F.split(F.trim(t), r"\s+")),
         }
