@@ -209,14 +209,16 @@ def q_canonical_pairs(spark, sf_dir):
 
 
 def q_minmax_norm_orders(spark, sf_dir):
+    # global min/max as a broadcast scalar aggregate (not an unpartitioned
+    # window, which would funnel the table through one task)
     orders = load(spark, sf_dir, "orders")
-    w = Window.partitionBy()
-    return orders.select(
+    stats = orders.agg(
+        F.min("o_totalprice").alias("_mn"), F.max("o_totalprice").alias("_mx")
+    )
+    return orders.crossJoin(F.broadcast(stats)).select(
         "o_orderkey",
         F.round(
-            (F.col("o_totalprice") - F.min("o_totalprice").over(w))
-            / (F.max("o_totalprice").over(w) - F.min("o_totalprice").over(w)),
-            6,
+            (F.col("o_totalprice") - F.col("_mn")) / (F.col("_mx") - F.col("_mn")), 6
         ).alias("norm"),
     )
 

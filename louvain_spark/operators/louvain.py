@@ -89,12 +89,14 @@ def _normalize(edges: DataFrame, weight_col: str | None) -> DataFrame:
 
 def _renumber(assign: DataFrame) -> DataFrame:
     """(id, community) → (id, community 0..k-1), first-appearance order over
-    ascending ids ≡ communities ranked by their min member id."""
+    ascending ids ≡ communities ranked by their min member id. The rank is
+    the two-phase distributed one (plans/rank.py) — the community-reps
+    table is |communities|-sized, which at level 0 of a big graph is still
+    far too large for a single-partition window."""
+    from louvain_spark.plans.rank import dense_sorted_rank
+
     reps = assign.groupBy("community").agg(F.min("id").alias("_rep"))
-    win = Window.orderBy("_rep")
-    remap = reps.select(
-        "community", (F.row_number().over(win) - 1).cast("long").alias("_new")
-    )
+    remap = dense_sorted_rank(reps, "_rep", id_col="_new").select("community", "_new")
     return assign.join(F.broadcast(remap), "community").select(
         "id", F.col("_new").alias("community")
     )
@@ -453,9 +455,10 @@ def louvain(
     e = _stats_reset(spark, _normalize(edges, weight_col), ckpt_base, "edges-l0")
     total_w = e.agg(F.coalesce(F.sum("w"), F.lit(0.0))).collect()[0][0]
     if not total_w:
-        win = Window.orderBy("id")
-        assign = ids.select(
-            "id", (F.row_number().over(win) - 1).cast("long").alias("community")
+        from louvain_spark.plans.rank import dense_sorted_rank
+
+        assign = dense_sorted_rank(ids, "id", id_col="community").select(
+            "id", F.col("community").cast("long")
         )
         return assign, 0.0
 
