@@ -136,10 +136,12 @@ def main(argv: list[str] | None = None) -> int:
         elif args.operator.startswith("louvain"):
             from louvain_spark.operators.louvain import resume_louvain
 
+            # bare --operator louvain → --mode picks the ledger name
+            suffix = args.operator.removeprefix("louvain").removeprefix("-")
             out, mod = resume_louvain(
                 spark, args.run_id, args.checkpoint_dir,
                 resolution=args.resolution, seed=args.seed,
-                mode=args.operator.removeprefix("louvain-") or args.mode,
+                mode=suffix or args.mode,
             )
             print(f"modularity={mod}")
         else:

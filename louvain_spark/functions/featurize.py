@@ -35,6 +35,20 @@ def _fnv1a_bytes(data: bytes) -> int:
     return h
 
 
+def fnv1a_masked(buf: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a over a padded uint8 matrix: row i hashes
+    buf[i, :lens[i]]. One XOR-multiply pass per byte position across the
+    whole batch; bit-identical to _fnv1a_bytes per row (uint64 array ops
+    wrap silently — only scalar numpy ops warn). The single shared kernel
+    behind the featurizer's short-text path and the SimHash token hash."""
+    h = np.full(len(lens), _FNV_OFFSET, dtype=np.uint64)
+    prime = np.uint64(_FNV_PRIME)
+    for j in range(int(lens.max()) if len(lens) else 0):
+        live = lens > j
+        h[live] = (h[live] ^ buf[live, j].astype(np.uint64)) * prime
+    return h
+
+
 def featurize_batch(texts: pd.Series, dim: int = 64, ngram: int = 3) -> pd.Series:
     """Vectorized hashing-trick featurizer over a pandas batch.
 
@@ -82,13 +96,7 @@ def featurize_batch(texts: pd.Series, dim: int = 64, ngram: int = 3) -> pd.Serie
     # embedding failure, /root/reference/tool/TextProcessor.py:79)
     short = (~isnull) & (lens < ngram)
     if short.any():
-        sl = lens[short]
-        sbuf = buf[short]
-        hs = np.full(len(sl), off, dtype=np.uint64)
-        for j in range(int(sl.max()) if len(sl) else 0):
-            live = sl > j
-            hs[live] = (hs[live] ^ sbuf[live, j].astype(np.uint64)) * prime
-        scatter(np.nonzero(short)[0], hs)
+        scatter(np.nonzero(short)[0], fnv1a_masked(buf[short], lens[short]))
     norms = np.linalg.norm(acc, axis=1, keepdims=True)
     mat = np.where(norms > 0, acc / np.maximum(norms, 1e-300), acc).astype(np.float32)
     mat[isnull] = 0.0

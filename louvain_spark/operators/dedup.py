@@ -211,28 +211,22 @@ def minhash_lsh_pairs(
 def fnv1a_hash_tokens(tokens) -> np.ndarray:
     """Vectorized FNV-1a over a sequence of token strings → uint64 array.
 
-    Vectorizes ACROSS tokens (one numpy op per byte position over the
-    whole batch, padded to the longest token) instead of per-byte Python —
-    identical output to the scalar per-byte loop, ~2 orders faster on
-    real batches. uint64 arithmetic wraps modulo 2^64 (numpy array ops
-    wrap silently; only scalar ops warn).
+    Builds the padded byte matrix and delegates to the shared masked FNV
+    kernel (functions/featurize.fnv1a_masked) — one numpy op per byte
+    position over the whole batch instead of per-byte Python.
     """
+    from louvain_spark.functions.featurize import fnv1a_masked
+
     n = len(tokens)
     if n == 0:
         return np.zeros(0, dtype=np.uint64)
     enc = [t.encode("utf-8") for t in tokens]
     lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=n)
-    maxlen = int(lens.max()) if n else 0
-    buf = np.zeros((n, max(maxlen, 1)), dtype=np.uint8)
+    buf = np.zeros((n, max(int(lens.max()), 1)), dtype=np.uint8)
     for i, b in enumerate(enc):
         if b:
             buf[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
-    h = np.full(n, 14695981039346656037, dtype=np.uint64)
-    prime = np.uint64(1099511628211)
-    for j in range(maxlen):
-        live = lens > j
-        h[live] = (h[live] ^ buf[live, j].astype(np.uint64)) * prime
-    return h
+    return fnv1a_masked(buf, lens)
 
 
 def simhash_batch(texts: pd.Series, bits: int = 64, hash_name: str = "fnv") -> np.ndarray:
@@ -387,9 +381,17 @@ def embedding_near_dup_pairs(
             F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x
         )
     )
+    # zero-norm guard (NULL-embedding fallbacks are zero vectors by
+    # contract, scalars.zero_vector_fallback): keep them as zero vectors
+    # (sim 0 → below any threshold) instead of NaN-poisoning the top-k.
+    # Double-precision normalize, matching the DuckDB oracle.
     unit = embeddings.select(
         F.col(id_col).alias("id"),
-        F.transform(vec_col, lambda x: x / norm).alias("vec"),
+        F.when(
+            norm > 0, F.transform(vec_col, lambda x: x / norm)
+        ).otherwise(
+            F.transform(vec_col, lambda x: x.cast("double") * 0.0)
+        ).alias("vec"),
     )
     spark = embeddings.sparkSession
     topk = (cosine_topk_lsh if approximate else cosine_topk_blocked)(

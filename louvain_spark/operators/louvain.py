@@ -48,7 +48,7 @@ import os
 import pandas as pd
 
 _DBG = bool(os.environ.get("LOUVAIN_DEBUG"))
-from pyspark.sql import DataFrame, Observation, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from louvain_spark.operators._louvain_kernel import (
@@ -536,7 +536,10 @@ def resume_louvain(
     ledger = spark.read.parquet(runner.ledger_path)
     mod = (
         ledger.where(
-            (F.col("run_id") == run_id) & (F.col("superstep") == step)
+            (F.col("run_id") == run_id)
+            & (F.col("operator") == f"louvain-{mode}")
+            & (F.col("superstep") == step)
+            & F.col("metric").isNotNull()
         )
         .select("metric")
         .first()[0]

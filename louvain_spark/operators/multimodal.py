@@ -237,6 +237,7 @@ def extract_features(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             codecs = pdf["codec"] if "codec" in pdf else pd.Series([None] * len(pdf))
+            kinds = pdf["kind"] if "kind" in pdf else pd.Series([None] * len(pdf))
             feats = [
                 decode_feature(p, c, dim, strict)
                 for p, c in zip(pdf["payload"], codecs)
@@ -244,7 +245,7 @@ def extract_features(
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
+                    "kind": kinds,
                     "n_bytes": [len(p or b"") for p in pdf["payload"]],
                     "digest": [hashlib.sha256(p or b"").hexdigest() for p in pdf["payload"]],
                     "feature": feats,

@@ -95,8 +95,10 @@ def cosine_topk_blocked(
     (default ≤8192×65536 sims ≈ 4GB float64 worst case at full blocks —
     the defaults keep cells well under that because blocks hash-balance).
     """
-    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv"))
-    i = items.select(F.col(i_id).alias("item_id"), F.col(i_vec).alias("_iv"))
+    # cache both sides: the block-sizing counts and the cogroup would
+    # otherwise re-execute the callers' (often pandas-UDF) lineage 2x each
+    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv")).persist()
+    i = items.select(F.col(i_id).alias("item_id"), F.col(i_vec).alias("_iv")).persist()
     out_schema = "query_id long, item_id long, sim double"
     n_q, n_i = q.count(), i.count()
     if n_q == 0 or n_i == 0:
