@@ -387,16 +387,29 @@ def _one_level_parallel(
 # ---------------------------------------------------------------------------
 
 def _dispatch_one_level(spark, mode, ckpt_base, parallel_opts):
-    """Level-phase dispatcher for mode in {'exact', 'parallel', 'auto'}."""
+    """Level-phase dispatcher for mode in {'exact', 'parallel', 'auto'}.
+
+    The returned callable yields (assign, modularity, needs_renumber):
+    the exact kernel already renumbers communities 0..k-1 by first
+    appearance over ascending node ids — identical to _renumber's
+    min-member-rank order — so exact levels skip the extra distributed
+    rank entirely; parallel levels still need it.
+    """
+
+    def run_exact(spark, e, ids, resolution, seed, level):
+        assign, mod = _one_level_exact(spark, e, ids, resolution, seed, level)
+        return assign, mod, False
+
     if mode == "exact":
-        return _one_level_exact
+        return run_exact
     popts = dict(parallel_opts or {})
     auto_exact_max = popts.pop("auto_exact_max", None)
 
     def run_parallel(spark, e, ids, resolution, seed, level):
-        return _one_level_parallel(
+        assign, mod = _one_level_parallel(
             spark, e, ids, resolution, seed, level, ckpt_dir=ckpt_base, **popts
         )
+        return assign, mod, True
 
     if mode == "parallel":
         return run_parallel
@@ -408,7 +421,7 @@ def _dispatch_one_level(spark, mode, ckpt_base, parallel_opts):
 
     def run_auto(spark, e, ids, resolution, seed, level):
         if ids.count() <= threshold:
-            return _one_level_exact(spark, e, ids, resolution, seed, level)
+            return run_exact(spark, e, ids, resolution, seed, level)
         return run_parallel(spark, e, ids, resolution, seed, level)
 
     return run_auto
@@ -463,8 +476,9 @@ def louvain(
         return assign, 0.0
 
     # level 0 (always kept, as in python-louvain generate_dendrogram)
-    assign, mod = one_level(spark, e, ids, resolution, seed, 0)
-    assign = _renumber(assign)
+    assign, mod, needs_rn = one_level(spark, e, ids, resolution, seed, 0)
+    if needs_rn:
+        assign = _renumber(assign)
     mapping = runner.advance(StepResult(assign, metric=mod))
     # level boundaries are natural checkpoints: cut lineage so each level's
     # sweeps replan against a flat, materialized graph
@@ -489,10 +503,13 @@ def _level_loop(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        assign, new_mod = one_level(spark, cur_edges, cur_ids, resolution, seed, level)
+        assign, new_mod, needs_rn = one_level(
+            spark, cur_edges, cur_ids, resolution, seed, level
+        )
         if new_mod - mod < min_gain:
             break
-        assign = _renumber(assign)
+        if needs_rn:
+            assign = _renumber(assign)
         mapping = runner.advance(
             StepResult(
                 mapping.withColumnRenamed("community", "_c")
