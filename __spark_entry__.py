@@ -109,8 +109,11 @@ def q_modularity_hash4(spark, sf_dir):
 
 
 def q_pagerank(spark, sf_dir):
+    # tol=0.0 pins exactly 30 supersteps so the DuckDB oracle (an unrolled
+    # 30-step power iteration over the identical frac table) replays the
+    # trajectory; round(6) absorbs summation-order float noise
     verts, edges = _graph(spark, sf_dir)
-    pr = pagerank(spark, edges, vertices=verts.select("id"), max_iter=30, tol=1e-8)
+    pr = pagerank(spark, edges, vertices=verts.select("id"), max_iter=30, tol=0.0)
     return pr.select("id", F.round("score", 6).alias("score"))
 
 
@@ -546,6 +549,53 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _pagerank_sql(iters: int = 30, damping: float = 0.85) -> str:
+    """DuckDB twin of q_pagerank: the identical damped power iteration
+    (frac = w/out_strength over the symmetrized graph, dangling mass
+    redistributed uniformly) unrolled to a fixed CTE chain — recursive
+    CTEs forbid aggregation over the recursive table, and at 30 steps the
+    unrolled plan is trivially cheap at oracle scale."""
+    steps = []
+    prev = "pr0"
+    for k in range(1, iters + 1):
+        # MATERIALIZED is load-bearing: DuckDB inlines CTEs by default and
+        # each step references its predecessor twice, so an un-materialized
+        # chain explodes to 2^iters scans of the base table
+        steps.append(
+            f"""pr{k} AS MATERIALIZED (
+  SELECT v.id,
+    (1.0 - {damping}) / nv.n + {damping} * (
+      coalesce(c.c, 0)
+      + (SELECT coalesce(sum(p.score), 0) FROM {prev} p
+         JOIN dang d ON p.id = d.id) / nv.n
+    ) AS score
+  FROM v CROSS JOIN nv
+  LEFT JOIN (
+    SELECT f.dst AS id, sum(f.frac * p.score) AS c
+    FROM frac f JOIN {prev} p ON f.src = p.id GROUP BY f.dst
+  ) c ON v.id = c.id
+)"""
+        )
+        prev = f"pr{k}"
+    chain = ",\n".join(steps)
+    return (
+        EVENTS_COOC_SQL
+        + f"""
+, sym AS (SELECT src, dst, weight AS w FROM e
+          UNION ALL SELECT dst, src, weight FROM e),
+outw AS (SELECT src, sum(w) AS out_w FROM sym GROUP BY src),
+frac AS MATERIALIZED (SELECT s.src, s.dst, s.w / o.out_w AS frac
+         FROM sym s JOIN outw o USING (src)),
+nv AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM v),
+dang AS MATERIALIZED (
+  SELECT id FROM v WHERE id NOT IN (SELECT DISTINCT src FROM sym)),
+pr0 AS MATERIALIZED (SELECT v.id, 1.0 / nv.n AS score FROM v CROSS JOIN nv),
+{chain}
+SELECT id, round(score, 6) AS score FROM {prev}
+"""
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     E = EVENTS_COOC_SQL  # shared CTE: m, v, mi, e (events co-occurrence)
     return {
@@ -757,8 +807,9 @@ def oracle_sql() -> dict[str, str]:
                ELSE u::BIGINT END, 0) AS simhash
         FROM documents d LEFT JOIN sig USING (doc_id)
         """,
-        # pagerank_events / louvain_events / lpa_events: iterative float
-        # operators, rows-only by design — their numeric oracles (numpy
-        # power iteration, vendored python-louvain semantics, sync-LPA
-        # dict) live in tests/.
+        "pagerank_events": _pagerank_sql(),
+        # louvain_events / lpa_events: iterative operators whose results
+        # are visit-order-dependent — rows-only by design; their numeric
+        # oracles (vendored python-louvain semantics, sync-LPA dict) live
+        # in tests/.
     }

@@ -41,6 +41,17 @@ class SuperstepRunner:
     checkpoint_dir=None → localCheckpoint only (fast, not resumable);
     otherwise every `checkpoint_every` supersteps the state is written to
     parquet and recorded in the ledger, enabling mid-iteration resume.
+
+    Every `stats_reset_every` consecutive localCheckpoints the state is
+    instead parquet-roundtripped through a session temp dir. This is NOT
+    optional hygiene: localCheckpoint preserves the origin plan's Catalyst
+    sizeInBytes estimate, and SizeInBytesOnlyStats estimates a join as the
+    PRODUCT of its children, so an operator running k joins per superstep
+    compounds the estimate ~k× per step until the optimizer spends minutes
+    multiplying million-digit BigIntegers and dies with "BigInteger would
+    overflow supported range" (observed at 30 PageRank supersteps on a
+    20-vertex graph — plan-size-driven, not data-driven). The roundtrip
+    replaces the estimate with the real file size.
     """
 
     def __init__(
@@ -50,14 +61,32 @@ class SuperstepRunner:
         operator: str,
         checkpoint_dir: str | None = None,
         checkpoint_every: int = 1,
+        stats_reset_every: int = 4,
     ):
         self.spark = spark
         self.run_id = run_id
         self.operator = operator
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = max(1, checkpoint_every)
+        self.stats_reset_every = max(1, stats_reset_every)
         self.superstep = -1
         self._persisted: DataFrame | None = None
+        self._local_since_reset = 0
+        self._resets = 0
+        self._tmp_dir: str | None = None
+
+    def _stats_reset_dir(self) -> str:
+        """Lazy per-runner temp dir for ad-hoc stats-reset roundtrips
+        (local filesystem; removed at interpreter exit — these frames are
+        working state, not resume targets)."""
+        if self._tmp_dir is None:
+            import atexit
+            import shutil
+            import tempfile
+
+            self._tmp_dir = tempfile.mkdtemp(prefix=f"superstep-{self.operator}-")
+            atexit.register(shutil.rmtree, self._tmp_dir, ignore_errors=True)
+        return self._tmp_dir
 
     # -- ledger -----------------------------------------------------------
     @property
@@ -100,6 +129,12 @@ class SuperstepRunner:
         Parquet-checkpointed steps get one row per checkpoint partition
         (lineage for resume); localCheckpoint-only steps get a single
         summary row with partition_id = -1 (they are not resume targets).
+
+        LOCAL-FS ASSUMPTION (same contract as sources.io.upsert_by_key):
+        the footer read + pyarrow append assume checkpoint_dir is a local
+        path. On HDFS/S3 pass a fuse mount, or swap this for a Spark
+        append write (the pre-r2 implementation) at the cost of one tiny
+        Spark job per superstep.
         """
         if self.ledger_path is None:
             return
@@ -150,8 +185,18 @@ class SuperstepRunner:
             ckpt_path = self._ckpt_path(self.superstep)
             state.write.mode("overwrite").parquet(ckpt_path)
             state = self.spark.read.parquet(ckpt_path)
+            self._local_since_reset = 0  # parquet roundtrip resets stats too
+        elif self._local_since_reset + 1 >= self.stats_reset_every:
+            # alternate between two paths so a reset never overwrites the
+            # files backing the frame it is reading from (stats_reset_every=1)
+            path = os.path.join(self._stats_reset_dir(), f"reset={self._resets % 2}")
+            state.write.mode("overwrite").parquet(path)
+            state = self.spark.read.parquet(path)
+            self._resets += 1
+            self._local_since_reset = 0
         else:
             state = state.localCheckpoint(eager=True)
+            self._local_since_reset += 1
         wall_ms = int((time.monotonic() - t0) * 1000)
         moved, metric = result.moved, result.metric
         if result.observation is not None:
