@@ -109,6 +109,22 @@ def main(argv: list[str] | None = None) -> int:
         if not (args.operator and args.checkpoint_dir):
             print("resume requires --operator and --checkpoint-dir", file=sys.stderr)
             return 2
+        if args.operator.startswith("louvain"):
+            # louvain writes ledger rows under 'louvain-{mode}' and
+            # resume_louvain does its own per-level ledger lookup — the
+            # generic probe below would filter on the bare operator name,
+            # match nothing, and wrongly report 'no checkpoint found'
+            from louvain_spark.operators.louvain import resume_louvain
+
+            suffix = args.operator.removeprefix("louvain").removeprefix("-")
+            out, mod = resume_louvain(
+                spark, args.run_id, args.checkpoint_dir,
+                resolution=args.resolution, seed=args.seed,
+                mode=suffix or args.mode,
+            )
+            print(f"modularity={mod}")
+            out.write.mode("overwrite").parquet(args.output)
+            return 0
         runner, state, step = SuperstepRunner.resume(
             spark, args.run_id, args.operator, args.checkpoint_dir
         )
@@ -133,17 +149,6 @@ def main(argv: list[str] | None = None) -> int:
                 spark, inp, weight_col=args.weight_col, max_iter=args.max_iter,
                 runner=runner, start_state=state,
             )
-        elif args.operator.startswith("louvain"):
-            from louvain_spark.operators.louvain import resume_louvain
-
-            # bare --operator louvain → --mode picks the ledger name
-            suffix = args.operator.removeprefix("louvain").removeprefix("-")
-            out, mod = resume_louvain(
-                spark, args.run_id, args.checkpoint_dir,
-                resolution=args.resolution, seed=args.seed,
-                mode=suffix or args.mode,
-            )
-            print(f"modularity={mod}")
         else:
             print(f"resume not wired for operator {args.operator}", file=sys.stderr)
             return 4

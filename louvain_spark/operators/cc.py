@@ -17,32 +17,43 @@ from louvain_spark.operators.graph import canonicalize, checksum, symmetrize, ve
 from louvain_spark.plans.loop import StepResult, SuperstepRunner
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
-    """For each u: m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u.
+def _tag_min(df: DataFrame, impl: str) -> DataFrame:
+    """Attach `_mn` = per-src min(dst).
 
-    The per-u neighborhood minimum rides a window over the symmetric view
-    (ONE shuffle per rewrite) instead of a groupBy + self-join (two)."""
-    from pyspark.sql import Window
+    impl='window': one shuffle — but a vertex's ENTIRE neighborhood lands
+    in one window task with no map-side partial aggregation, so a power-law
+    hub concentrates in a single straggler task (AQE splits skewed *joins*,
+    not windows).
 
+    impl='groupby': two shuffles — groupBy(min) does map-side partial
+    aggregation (hub minima reduce before the shuffle) and the join back on
+    src is AQE-skew-splittable. The scale-safe default for graphs with
+    heavy hitters."""
+    if impl == "window":
+        from pyspark.sql import Window
+
+        return df.withColumn("_mn", F.min("dst").over(Window.partitionBy("src")))
+    mins = df.groupBy("src").agg(F.min("dst").alias("_mn"))
+    return df.join(mins, "src")
+
+
+def _large_star(edges: DataFrame, impl: str = "groupby") -> DataFrame:
+    """For each u: m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u."""
     sym = symmetrize(edges)
-    w = Window.partitionBy("src")
-    tagged = sym.withColumn("_m", F.least(F.col("src"), F.min("dst").over(w)))
+    tagged = _tag_min(sym, impl).withColumn("_m", F.least(F.col("src"), F.col("_mn")))
     out = tagged.where(F.col("dst") > F.col("src")).select(
         F.col("dst").alias("src"), F.col("_m").alias("dst")
     )
     return canonicalize(out)
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, impl: str = "groupby") -> DataFrame:
     """Orient u = max(pair); m = min(Γ_small(u) ∪ {u});
-    emit (v, m) for v ∈ Γ_small(u) ∪ {u}, v ≠ m. Window-min, one shuffle."""
-    from pyspark.sql import Window
-
+    emit (v, m) for v ∈ Γ_small(u) ∪ {u}, v ≠ m."""
     oriented = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     )
-    w = Window.partitionBy("src")
-    tagged = oriented.withColumn("_m", F.min("dst").over(w))
+    tagged = _tag_min(oriented, impl).withColumn("_m", F.col("_mn"))
     out1 = tagged.where(F.col("dst") != F.col("_m")).select(
         F.col("dst").alias("src"), F.col("_m").alias("dst")
     )
@@ -59,11 +70,17 @@ def connected_components(
     max_iter: int = 50,
     runner: SuperstepRunner | None = None,
     start_state: DataFrame | None = None,
+    star_impl: str = "groupby",
 ) -> DataFrame:
     """assignments(id, component) with component = min vertex id reachable.
 
     Pass a SuperstepRunner for durable checkpoints/ledger; pass
     (runner, start_state) from SuperstepRunner.resume to continue a run.
+
+    star_impl: 'groupby' (default — skew-safe: map-side partial min +
+    AQE-splittable join back, the right shape for power-law hubs) or
+    'window' (one shuffle per rewrite but the hub's whole neighborhood
+    funnels through one window task — only for degree-bounded graphs).
     """
     if runner is None:
         runner = SuperstepRunner(spark, "adhoc", "cc")
@@ -75,7 +92,7 @@ def connected_components(
         # fixpoint checksum rides the checkpoint action as observed
         # metrics — one Spark job per superstep, no re-scan
         obs = Observation()
-        nxt = _small_star(_large_star(cur)).observe(
+        nxt = _small_star(_large_star(cur, star_impl), star_impl).observe(
             obs,
             F.count(F.lit(1)).alias("n"),
             F.coalesce(

@@ -95,10 +95,17 @@ def cosine_topk_blocked(
     (default ≤8192×65536 sims ≈ 4GB float64 worst case at full blocks —
     the defaults keep cells well under that because blocks hash-balance).
     """
-    # cache both sides: the block-sizing counts and the cogroup would
-    # otherwise re-execute the callers' (often pandas-UDF) lineage 2x each
-    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv")).persist()
-    i = items.select(F.col(i_id).alias("item_id"), F.col(i_vec).alias("_iv")).persist()
+    # snapshot both sides once (eager localCheckpoint): the block-sizing
+    # counts and the cogroup would otherwise re-execute the callers' (often
+    # pandas-UDF) lineage 2x each. localCheckpoint instead of persist so
+    # repeated calls (bench loops, per-micro-batch near-dup) don't
+    # accumulate cached blocks — checkpoint blocks are freed with the frame
+    q = queries.select(
+        F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv")
+    ).localCheckpoint(eager=True)
+    i = items.select(
+        F.col(i_id).alias("item_id"), F.col(i_vec).alias("_iv")
+    ).localCheckpoint(eager=True)
     out_schema = "query_id long, item_id long, sim double"
     n_q, n_i = q.count(), i.count()
     if n_q == 0 or n_i == 0:
@@ -247,12 +254,22 @@ def cosine_topk_lsh(
             F.array(*[_bucket_expr(F.col("_iv"), planes[t], t) for t in range(n_tables)])
         ).alias("bucket"),
     )
-    cand = qb.join(ib, "bucket")
+    # bucket join + dedup on BARE IDS — at 1024-dim embeddings, carrying
+    # vectors through the distinct would shuffle ~8KB/row; instead the
+    # widest exchanges (bucket join, dedup) move only (bucket, id) /
+    # (query_id, item_id), and vectors rejoin once for exact scoring
+    cand = (
+        qb.select("query_id", "bucket")
+        .join(ib.select("item_id", "bucket"), "bucket")
+        .drop("bucket")
+    )
     if exclude_self:
         cand = cand.where(F.col("query_id") != F.col("item_id"))
     cand = cand.dropDuplicates(["query_id", "item_id"])
-    scored = cand.select(
-        "query_id", "item_id", dot_col(F.col("_qv"), F.col("_iv")).alias("sim")
+    scored = (
+        cand.join(q, "query_id")
+        .join(i, "item_id")
+        .select("query_id", "item_id", dot_col(F.col("_qv"), F.col("_iv")).alias("sim"))
     )
     if min_sim is not None:
         scored = scored.where(F.col("sim") >= min_sim)

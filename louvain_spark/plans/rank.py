@@ -36,12 +36,20 @@ def dense_sorted_rank(
     # caller's whole distinct/shuffle lineage a second time (the sampling
     # job itself materializes the cache — no extra count pass)
     src = df.persist()
+    # eager localCheckpoint (NOT persist): the collected per-partition
+    # counts bake this exact layout into the offset expression, and a
+    # persisted frame whose cached blocks are evicted would re-run the
+    # range sampler and may pick different boundaries — silently wrong ids.
+    # Checkpoint blocks are never recomputed: lost blocks FAIL the job
+    # instead, and are freed with the frame (no persist leak in either
+    # checkpoint branch).
     parts = (
         src.repartitionByRange(partitions, order_col)
         .sortWithinPartitions(order_col)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
+    src.unpersist()
     counts = {
         r["_pid"]: r["cnt"]
         for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
@@ -59,6 +67,4 @@ def dense_sorted_rank(
     )
     if checkpoint:
         out = out.localCheckpoint(eager=True)
-        parts.unpersist()
-        src.unpersist()
     return out

@@ -105,6 +105,35 @@ def test_dense_sorted_rank_matches_global_sort_and_stays_partitioned(spark):
     assert got_rows == want_rows
 
 
+def test_lsh_ann_dedup_exchange_carries_only_ids(spark):
+    """VERDICT r2 #4: the LSH candidate dedup must shuffle bare id pairs —
+    at 1024-dim embeddings, carrying vectors through the distinct would
+    move ~8KB/row; vectors must rejoin only for scoring."""
+    from louvain_spark.operators.similarity import cosine_topk_lsh
+
+    emb = load(spark, SF, "embeddings")
+    norm = F.sqrt(F.aggregate(F.col("embedding"), F.lit(0.0), lambda a, x: a + x * x))
+    unit = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x / norm).alias("vec"),
+    )
+    top = cosine_topk_lsh(
+        spark, unit.where(F.col("id") < 20), unit, k=5, dim=64, n_planes=6, n_tables=3
+    )
+    plan = _plan(top)
+    dedup_exchanges = [
+        b
+        for b in re.split(r"\n(?=\(\d+\) )", plan)
+        if b.split("\n")[0].endswith("Exchange")
+        and re.search(r"hashpartitioning\(query_id#\d+L, item_id#\d+L", b)
+    ]
+    assert dedup_exchanges, plan
+    for b in dedup_exchanges:
+        m = re.search(r"Input \[(\d+)\]: \[([^\]]*)\]", b)
+        assert m and m.group(1) == "2", b
+        assert "_qv" not in b and "_iv" not in b, b
+
+
 def test_events_vertices_plan_has_no_single_partition_window(spark):
     """events_cooc's dictionary build (the path every graph entry query
     takes) must not contain an unpartitioned window (VERDICT r1 #3)."""
