@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from louvain_spark.functions.scalars import json_decode, json_encode
 from louvain_spark.operators.cc import connected_components
-from louvain_spark.operators.clusters import cluster_summary
+from louvain_spark.operators.clusters import cluster_members_detail, cluster_summary
 from louvain_spark.operators.dedup import (
     embedding_near_dup_pairs,
     minhash_lsh_pairs,
@@ -58,10 +58,25 @@ from louvain_spark.sources.tables import EVENTS_COOC_SQL, events_cooc, load
 # flagship
 # ---------------------------------------------------------------------------
 
+# Pinned auto-mode knobs for the driver-gate queries: auto_exact_max and
+# n_blocks are fixed (not derived from defaultParallelism) so the flagship
+# exercises the 100TB code path — parallel block sweeps at level 0, exact
+# coarse tail — with results identical across master settings (asserted by
+# tests/test_louvain.py::test_louvain_auto_deterministic_across_masters).
+LOUVAIN_AUTO_OPTS = {"auto_exact_max": 100, "n_blocks": 2}
+
+
+def _louvain_auto(spark, edges, verts):
+    return louvain(
+        spark, edges, vertices=verts.select("id"), mode="auto",
+        parallel_opts=dict(LOUVAIN_AUTO_OPTS),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Louvain community detection over the events co-occurrence graph."""
     verts, edges = events_cooc(load(spark, "/root/testdata/sf0.001", "events"))
-    assign, _mod = louvain(spark, edges, vertices=verts.select("id"), mode="exact")
+    assign, _mod = _louvain_auto(spark, edges, verts)
     return assign.join(verts, "id").select("id", "name", "community")
 
 
@@ -118,8 +133,10 @@ def q_pagerank(spark, sf_dir):
 
 
 def q_louvain(spark, sf_dir):
+    # mode='auto' (parallel level 0, exact coarse tail) — the 100TB code
+    # path; exact mode remains the pytest parity-test surface
     verts, edges = _graph(spark, sf_dir)
-    assign, _ = louvain(spark, edges, vertices=verts.select("id"), mode="exact")
+    assign, _ = _louvain_auto(spark, edges, verts)
     return assign.select("id", "community")
 
 
@@ -138,6 +155,34 @@ def q_cluster_summary(spark, sf_dir):
     verts, _ = _graph(spark, sf_dir)
     assign = verts.select("id", F.pmod("id", F.lit(8)).cast("long").alias("community"))
     return cluster_summary(assign, verts)
+
+
+def q_cluster_members_detail(spark, sf_dir):
+    """Nested cluster detail (reference results.json:1-40): members as
+    typed structs. The operator returns the real array<struct>; this entry
+    serializes it with to_json so the driver's string hash can compare the
+    nested value across engines (Row vs dict stringification differs)."""
+    verts, _ = _graph(spark, sf_dir)
+    typed = verts.withColumn("vtype", F.split_part(F.col("name"), F.lit(":"), F.lit(1)))
+    assign = verts.select("id", F.pmod("id", F.lit(8)).cast("long").alias("community"))
+    detail = cluster_members_detail(assign, typed)
+    return detail.select("community", "size", F.to_json("members").alias("members_json"))
+
+
+def q_typed_edges(spark, sf_dir):
+    """Secondary typed edge family (reference upload.py:118-163 —
+    Who-[:BELONGS_TO]->organization): direct user-[:PERFORMS]->event_type
+    relation edges over events, mapped to the shared vertex dictionary —
+    orthogonal to the shared-context co-occurrence induction."""
+    from louvain_spark.operators.induce import typed_edges
+
+    events = load(spark, sf_dir, "events")
+    verts, _ = _graph(spark, sf_dir)
+    named = events.select(
+        F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias("src_name"),
+        F.concat(F.lit("type:"), F.col("event_type")).alias("dst_name"),
+    )
+    return typed_edges(named, "src_name", "dst_name", "performs", vertices=verts)
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -383,6 +428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_events": q_louvain,
         "lpa_events": q_lpa,
         "cluster_summary_events": q_cluster_summary,
+        "cluster_members_detail_events": q_cluster_members_detail,
+        "typed_edges_events": q_typed_edges,
         "ngram_jaccard_docs": q_ngram_jaccard,
         "json_roundtrip_part": q_json_roundtrip,
         "top3_orders_per_customer": q_top3_orders,
@@ -654,6 +701,27 @@ def oracle_sql() -> dict[str, str]:
                string_agg(name, '|' ORDER BY name) AS members
         FROM v
         GROUP BY 1 HAVING count(*) >= 2
+        """,
+        "cluster_members_detail_events": E
+        + """
+        SELECT id % 8 AS community, count(*) AS size,
+               to_json(list(struct_pack(name := name,
+                                        vtype := split_part(name, ':', 1))
+                            ORDER BY name)) AS members_json
+        FROM v
+        GROUP BY 1 HAVING count(*) >= 2
+        """,
+        "typed_edges_events": E
+        + """
+        , rel AS (
+          SELECT 'user:' || user_id::VARCHAR AS src_name,
+                 'type:' || event_type AS dst_name,
+                 count(*)::DOUBLE AS weight
+          FROM events GROUP BY 1, 2
+        )
+        SELECT vs.id AS src, vd.id AS dst, 'performs' AS etype, rel.weight
+        FROM rel JOIN v vs ON rel.src_name = vs.name
+                 JOIN v vd ON rel.dst_name = vd.name
         """,
         "ngram_jaccard_docs": f"""
         WITH sh AS (

@@ -51,3 +51,37 @@ def cluster_summary(
         .where(F.col("size") >= min_size)
         .select("community", "size", "canonical_name", "members")
     )
+
+
+def cluster_members_detail(
+    assignments: DataFrame,
+    vertices: DataFrame,
+    name_col: str = "name",
+    vtype_col: str = "vtype",
+    min_size: int = 2,
+    max_members: int | None = None,
+) -> DataFrame:
+    """(community, size, members: array<struct<name,vtype>>) ≥ min_size.
+
+    The nested form of the reference's cluster detail output
+    (/root/reference/data/results.json:1-40 — cluster → what_nodes with
+    typed related entities, grouped-collected in
+    /root/reference/event_add_property/thing copy.py:56-62): each cluster
+    row carries its members as typed structs, sorted by name (array_sort
+    on structs orders by leading field). Same single hash-partitioned
+    groupBy as cluster_summary; max_members caps hub-community rows.
+    """
+    j = assignments.join(vertices.select("id", name_col, vtype_col), "id")
+    members = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(name_col).alias("name"), F.col(vtype_col).alias("vtype"))
+        )
+    )
+    if max_members is not None:
+        members = F.slice(members, 1, max_members)
+    return (
+        j.groupBy("community")
+        .agg(F.count(F.lit(1)).alias("size"), members.alias("members"))
+        .where(F.col("size") >= min_size)
+        .select("community", "size", "members")
+    )

@@ -237,3 +237,44 @@ def turn_adjacency_edges(transcripts: DataFrame, vertices: DataFrame) -> DataFra
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("double").alias("weight"))
     )
+
+
+def typed_edges(
+    df: DataFrame,
+    src_col,
+    dst_col,
+    etype: str,
+    vertices: DataFrame | None = None,
+    broadcast_dict: bool = True,
+) -> DataFrame:
+    """Directed typed relation edges — the co-occurrence-orthogonal edge
+    family the reference materializes as Who-[:BELONGS_TO]->organization
+    (/root/reference/tool/upload.py:118-163): a direct source-row relation
+    (src entity, dst entity) counted, not a shared-context induction.
+
+    Aggregates BEFORE the dictionary join (map-side partial count, the
+    wide shuffle carries only name pairs), then maps names→ids against
+    `vertices` (id, name) — broadcast below the usual dictionary gate,
+    shuffle join when broadcast_dict=False (dictionaries past executor
+    memory). Returns (src, dst, etype, weight) with ids when vertices is
+    given, else (src_name, dst_name, etype, weight).
+    """
+    pairs = df.select(F.col(src_col).alias("_sn"), F.col(dst_col).alias("_dn"))
+    agg = pairs.groupBy("_sn", "_dn").agg(
+        F.count(F.lit(1)).cast("double").alias("weight")
+    )
+    if vertices is None:
+        return agg.select(
+            F.col("_sn").alias("src_name"),
+            F.col("_dn").alias("dst_name"),
+            F.lit(etype).alias("etype"),
+            "weight",
+        )
+    jb = F.broadcast if broadcast_dict else (lambda d: d)
+    ds = jb(vertices.select(F.col("name").alias("_sn"), F.col("id").alias("src")))
+    dd = jb(vertices.select(F.col("name").alias("_dn"), F.col("id").alias("dst")))
+    return (
+        agg.join(ds, "_sn")
+        .join(dd, "_dn")
+        .select("src", "dst", F.lit(etype).alias("etype"), "weight")
+    )

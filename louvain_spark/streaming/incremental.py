@@ -23,6 +23,36 @@ from louvain_spark.plans.rank import dense_sorted_rank
 CLUSTER_MATCH_THRESHOLD = 0.8   # eventMove.py:459-463
 ORPHAN_MATCH_THRESHOLD = 0.95   # eventMove.py:602-692
 
+# above this many rows on either side, top-1 matching routes through the
+# cogrouped block nested-loop (cosine_topk_blocked) instead of the
+# crossJoin brute — |clusters|² is fine for thousands of centroids but a
+# scale-killer at millions (VERDICT r2 #9)
+BLOCKED_MATCH_ABOVE = 50_000
+
+
+def _topk_auto(
+    queries: DataFrame,
+    items: DataFrame,
+    k: int,
+    min_sim: float,
+    blocked_above: int = BLOCKED_MATCH_ABOVE,
+) -> DataFrame:
+    """Exact top-k: crossJoin brute below the gate, blocked above it.
+
+    Both inputs are materialized aggregates (centroid/feature tables), so
+    the sizing counts are cheap; both strategies return identical results
+    (the blocked form is a complete nested loop, not approximate)."""
+    from louvain_spark.operators.similarity import cosine_topk_blocked
+
+    if max(queries.count(), items.count()) <= blocked_above:
+        return cosine_topk_brute(
+            queries, items, k=k, min_sim=min_sim, exclude_self=False
+        )
+    return cosine_topk_blocked(
+        queries.sparkSession, queries, items, k=k, min_sim=min_sim,
+        exclude_self=False,
+    )
+
 
 def cluster_centroids(
     assignments: DataFrame, attrs: DataFrame, text_col: str = "text", dim: int = 64
@@ -53,13 +83,13 @@ def match_clusters(
     """(daily_community, alltime_community, sim) — best match ≥ threshold,
     each daily cluster matched to at most one all-time cluster (greedy by
     similarity, ties → lower all-time id), mirroring the theta cross join
-    + sort of eventMove.py:438-475."""
-    top = cosine_topk_brute(
+    + sort of eventMove.py:438-475. Routes through the blocked nested-loop
+    above BLOCKED_MATCH_ABOVE centroids on either side."""
+    top = _topk_auto(
         daily_centroids.select(F.col("community").alias("id"), F.col("centroid").alias("vec")),
         alltime_centroids.select(F.col("community").alias("id"), F.col("centroid").alias("vec")),
         k=1,
         min_sim=threshold,
-        exclude_self=False,
     )
     return top.select(
         F.col("query_id").alias("daily_community"),
@@ -147,12 +177,13 @@ def match_orphan_vertices(
     cents = cluster_centroids(alltime_assign, alltime_attrs, text_col, dim)
     vec = featurize(F.coalesce(F.col(text_col), F.lit("")), dim=dim)
     q = orphan_attrs.select("id", vec.alias("vec"))
-    top = cosine_topk_brute(
+    # orphan side can be arbitrarily large (every never-clustered vertex
+    # of the day) — same blocked routing above the gate
+    top = _topk_auto(
         q,
         cents.select(F.col("community").alias("id"), F.col("centroid").alias("vec")),
         k=1,
         min_sim=threshold,
-        exclude_self=False,
     )
     return top.select(
         F.col("query_id").alias("id"), F.col("item_id").alias("community"), "sim"

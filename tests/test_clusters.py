@@ -49,3 +49,24 @@ def test_cluster_summary_over_louvain(spark):
     assert len(got) == 4
     assert [r["size"] for r in got] == [5, 5, 5, 5]
     assert got[0]["members"] == "v000|v001|v002|v003|v004"
+
+
+def test_cluster_members_detail_nested(spark):
+    from louvain_spark.operators.clusters import cluster_members_detail
+    from pyspark.sql import functions as F
+
+    verts = spark.createDataFrame(
+        [(0, "type:a", "type"), (1, "user:9", "user"), (2, "type:b", "type"),
+         (3, "user:7", "user")],
+        "id long, name string, vtype string",
+    )
+    assign = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1), (3, 0)], "id long, community long"
+    )
+    rows = {r["community"]: r for r in cluster_members_detail(assign, verts).collect()}
+    assert set(rows) == {0}  # community 1 is a singleton, dropped
+    got = [(m["name"], m["vtype"]) for m in rows[0]["members"]]
+    assert got == [("type:a", "type"), ("user:7", "user"), ("user:9", "user")]
+    assert rows[0]["size"] == 3
+    capped = cluster_members_detail(assign, verts, max_members=2).collect()
+    assert len([m for r in capped for m in r["members"]]) == 2

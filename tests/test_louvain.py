@@ -160,3 +160,35 @@ def test_auto_mode_forced_parallel_matches_parallel_trajectory(spark):
     got_p, mod_p = _run(spark, edges, n, mode="parallel")
     assert got_a == got_p
     assert abs(mod_a - mod_p) < 1e-12
+
+
+def test_louvain_auto_deterministic_across_masters():
+    """VERDICT r2 #8: the auto-mode driver query (parallel level 0 with
+    pinned n_blocks, exact coarse tail) must produce the identical
+    partition regardless of master/core count — block assignment is
+    xxhash64-pinned, not layout-derived. Fresh subprocesses because
+    get_spark caches the first session's master."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    script = (
+        "import sys, json; sys.path.insert(0, '/root/repo');\n"
+        "import __spark_entry__ as e\n"
+        "from louvain_spark import get_spark\n"
+        "spark = get_spark('det-check')\n"
+        "rows = e.q_louvain(spark, '/root/testdata/sf0.01').collect()\n"
+        "print('RESULT=' + json.dumps(sorted((r['id'], r['community']) for r in rows)))\n"
+    )
+    results = []
+    for master in ("local[2]", "local[8]"):
+        env = {**os.environ, "SPARK_GRAFT_MASTER": master}
+        p = subprocess.run(
+            [sys.executable, "-c", script], env=env, capture_output=True, text=True,
+            timeout=600,
+        )
+        lines = [l for l in p.stdout.splitlines() if l.startswith("RESULT=")]
+        assert lines, p.stderr[-2000:]
+        results.append(lines[0])
+    assert results[0] == results[1]

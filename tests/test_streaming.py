@@ -146,3 +146,33 @@ def test_stream_windowed_rates_watermark(spark, tmp_path):
     assert got == want
     assert not (set(got) & open_windows)
     assert len(got) > 5
+
+
+def test_match_routing_above_gate_no_crossjoin(spark):
+    """VERDICT r2 #9: above BLOCKED_MATCH_ABOVE the matcher must use the
+    cogrouped block nested-loop — no CartesianProduct/BroadcastNestedLoop
+    in the plan — and return the identical top-1 result."""
+    from louvain_spark.streaming.incremental import _topk_auto
+    from louvain_spark.operators.similarity import cosine_topk_brute
+    from pyspark.sql import functions as F
+
+    vecs = spark.range(0, 300).select(
+        F.col("id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: F.cos(F.col("id") * (i + 1) * 0.37),
+        ).alias("vec"),
+    )
+    from louvain_spark.functions.scalars import l2_normalize
+
+    unit = vecs.select("id", l2_normalize("vec").alias("vec"))
+    q = unit.where(F.col("id") < 40)
+    blocked = _topk_auto(q, unit, k=1, min_sim=0.0, blocked_above=0)
+    plan = blocked._sc._jvm.PythonSQLUtils.explainString(
+        blocked._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    brute = cosine_topk_brute(q, unit, k=1, min_sim=0.0, exclude_self=False)
+    got = {(r["query_id"], r["item_id"]) for r in blocked.collect()}
+    want = {(r["query_id"], r["item_id"]) for r in brute.collect()}
+    assert got == want
