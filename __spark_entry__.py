@@ -141,10 +141,14 @@ def q_louvain(spark, sf_dir):
 
 
 def q_lpa(spark, sf_dir):
+    # max_iter pinned to 20 (the default, stated explicitly): the DuckDB
+    # oracle unrolls exactly 20 synchronous steps — equal to the engine's
+    # early-stopped result because a fixpoint is invariant under further
+    # steps, and all weights are integer-valued counts (no float-tie risk)
     verts, edges = _graph(spark, sf_dir)
-    return label_propagation(spark, edges, vertices=verts.select("id")).select(
-        "id", "community"
-    )
+    return label_propagation(
+        spark, edges, vertices=verts.select("id"), max_iter=20
+    ).select("id", "community")
 
 
 def q_cluster_summary(spark, sf_dir):
@@ -628,7 +632,7 @@ def _pagerank_sql(iters: int = 30, damping: float = 0.85) -> str:
     return (
         EVENTS_COOC_SQL
         + f"""
-, sym AS (SELECT src, dst, weight AS w FROM e
+, sym AS MATERIALIZED (SELECT src, dst, weight AS w FROM e
           UNION ALL SELECT dst, src, weight FROM e),
 outw AS (SELECT src, sum(w) AS out_w FROM sym GROUP BY src),
 frac AS MATERIALIZED (SELECT s.src, s.dst, s.w / o.out_w AS frac
@@ -639,6 +643,44 @@ dang AS MATERIALIZED (
 pr0 AS MATERIALIZED (SELECT v.id, 1.0 / nv.n AS score FROM v CROSS JOIN nv),
 {chain}
 SELECT id, round(score, 6) AS score FROM {prev}
+"""
+    )
+
+
+def _lpa_sql(iters: int = 20) -> str:
+    """DuckDB twin of q_lpa: synchronous weighted label propagation
+    unrolled to a fixed MATERIALIZED CTE chain. Per step, every node takes
+    the neighbor label with max summed weight (tie → MIN label) over the
+    symmetrized graph; isolated nodes keep their label. Deterministic
+    cross-engine: weights are co-occurrence counts (integer-valued
+    doubles), so the argmax never depends on float summation order."""
+    steps = []
+    prev = "l0"
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""l{k} AS MATERIALIZED (
+  SELECT p.id, coalesce(b.new_label, p.community) AS community
+  FROM {prev} p LEFT JOIN (
+    SELECT id, nbr_label AS new_label FROM (
+      SELECT s.src AS id, p2.community AS nbr_label,
+        row_number() OVER (PARTITION BY s.src
+                           ORDER BY sum(s.w) DESC, p2.community ASC) AS rn
+      FROM sym s JOIN {prev} p2 ON s.dst = p2.id
+      GROUP BY s.src, p2.community
+    ) WHERE rn = 1
+  ) b ON p.id = b.id
+)"""
+        )
+        prev = f"l{k}"
+    chain = ",\n".join(steps)
+    return (
+        EVENTS_COOC_SQL
+        + f"""
+, sym AS MATERIALIZED (SELECT src, dst, weight AS w FROM e
+          UNION ALL SELECT dst, src, weight FROM e),
+l0 AS MATERIALIZED (SELECT id, id AS community FROM v),
+{chain}
+SELECT id, community FROM {prev}
 """
     )
 
@@ -876,8 +918,8 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN sig USING (doc_id)
         """,
         "pagerank_events": _pagerank_sql(),
-        # louvain_events / lpa_events: iterative operators whose results
-        # are visit-order-dependent — rows-only by design; their numeric
-        # oracles (vendored python-louvain semantics, sync-LPA dict) live
-        # in tests/.
+        "lpa_events": _lpa_sql(),
+        # louvain_events: sequential-visit-order-dependent by nature —
+        # rows-only by design; its numeric oracle (vendored python-louvain
+        # 0.16 semantics) lives in tests/test_louvain.py.
     }

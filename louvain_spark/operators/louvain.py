@@ -304,9 +304,16 @@ def _one_level_parallel(
         jb = F.broadcast if use_bc else (lambda df: df)
         base = assign.join(k.select("id", "k"), "id")
         tot = base.groupBy("community").agg(F.sum("k").alias("tot"))
+        # persist (lazy), NOT an eager localCheckpoint: the dim is consumed
+        # twice (src/dst broadcast sides) *inside the sweep's single
+        # action* — the first broadcast stage materializes the cache, the
+        # second reads it. An eager checkpoint here was a second driver-
+        # blocking job per sweep, i.e. pure serial floor that capped N→4N
+        # scaling efficiency (VERDICT r2 #5). No stats hazard: assign is
+        # parquet-backed each sweep, so this lineage is one level deep.
         dim = base.join(jb(tot), "community").select(
             "id", "community", "k", "tot"
-        ).localCheckpoint(eager=True)
+        ).persist()
         tagged = (
             sym.join(
                 jb(
@@ -335,17 +342,33 @@ def _one_level_parallel(
         moved_df = tagged.groupBy("_blk").applyInPandas(
             kernel, "id long, new_com long"
         )
-        # moved-count piggybacks on the checkpoint write (one job per sweep,
-        # not two)
+        # ONE driver-blocking action per sweep: the parquet write of the
+        # UPDATED assignments. It pulls the whole chain — dim cache fill,
+        # kernel cogroup, moved broadcast, assign merge — as stages of a
+        # single job; the moved-count observation fills during the write,
+        # and the roundtrip doubles as the durable sweep checkpoint + the
+        # Catalyst stats reset (see _stats_reset).
+        # observe on the MERGED root (not on moved_df): an Observation
+        # under a BroadcastExchange fails its exactly-once assertion — the
+        # root select executes exactly once, in the write job
         obs = Observation()
-        moved_df = moved_df.observe(obs, F.count(F.lit(1)).alias("n"))
-        # parquet roundtrip = durable sweep checkpoint + stats reset (see
-        # _stats_reset): moved_df otherwise carries the product-of-joins
-        # size estimate into next sweep's assign, compounding exponentially
-        moved_df = _stats_reset(spark, moved_df, ckpt_dir, f"moved-l{level}-s{sweep}")
+        prev_assign = assign
+        merged = (
+            prev_assign.join(jb(moved_df), "id", "left")
+            .select(
+                "id",
+                F.coalesce("new_com", "community").alias("community"),
+                F.col("new_com").isNotNull().alias("_m"),
+            )
+            .observe(
+                obs, F.coalesce(F.sum(F.col("_m").cast("long")), F.lit(0)).alias("n")
+            )
+            .select("id", "community")
+        )
+        assign = _stats_reset(spark, merged, ckpt_dir, f"assign-l{level}-s{sweep}")
         moved = int(obs.get["n"])
         dim.unpersist()
-        _mark("kernel+count")
+        _mark("sweep-action")
         if _DBG:
             qe = assign._jdf.queryExecution()
             adigits = len(str(qe.analyzed().stats().sizeInBytes()))
@@ -367,15 +390,9 @@ def _one_level_parallel(
                 flush=True,
             )
         if moved < min_moved:
+            # the sub-threshold sweep's few moves are already applied (the
+            # merge rides the same action) — keep them, stop sweeping
             break
-        prev_assign = assign
-        assign = (
-            assign.join(jb(moved_df), "id", "left")
-            .select("id", F.coalesce("new_com", "community").alias("community"))
-            .localCheckpoint(eager=True)
-        )
-        prev_assign.unpersist()
-        _mark("assign-update")
 
     mod = q_mod(e.withColumnRenamed("w", "weight"), assign, resolution, "weight")
     e.unpersist()
