@@ -154,3 +154,81 @@ def stream_windowed_rates(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_conversation_state(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-conversation running session state — turn count, tool-turn count,
+    first/last event time — carried across micro-batches in the state
+    store and emitted in UPDATE mode after every batch that touches the
+    conversation (batch_id-stamped parquet via foreachBatch; readers take
+    the max-batch_id row per conversation).
+
+    This is the engine's canonical "operator Spark lacks, expressed as
+    Arrow-batched stateful logic" shape (SURVEY.md §2.9): state is a flat
+    numeric tuple (timestamps as epoch micros — the state store holds no
+    tz-sensitive types), updates are pandas-vectorized, and grouping keys
+    shuffle once per micro-batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "conv_id string, n_turns long, n_tool_turns long, "
+        "first_us long, last_us long"
+    )
+    state_schema = "n_turns long, n_tool_turns long, first_us long, last_us long"
+
+    def update(key, pdfs, state: GroupState):
+        n, nt, first, last = state.get if state.exists else (0, 0, None, None)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            nt += int(pdf["tool"].notna().sum())
+            ts = pd.to_datetime(pdf["ts"])
+            mn = int(ts.min().value // 1000)
+            mx = int(ts.max().value // 1000)
+            first = mn if first is None else min(first, mn)
+            last = mx if last is None else max(last, mx)
+        state.update((n, nt, first, last))
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "n_turns": [n],
+                "n_tool_turns": [nt],
+                "first_us": [first],
+                "last_us": [last],
+            }
+        )
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    stateful = stream.groupBy("conv_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(output_dir)
+
+    writer = (
+        stateful.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -176,3 +176,43 @@ def test_match_routing_above_gate_no_crossjoin(spark):
     got = {(r["query_id"], r["item_id"]) for r in blocked.collect()}
     want = {(r["query_id"], r["item_id"]) for r in brute.collect()}
     assert got == want
+
+
+def test_stream_conversation_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState: running per-conversation state must survive
+    micro-batch boundaries (maxFilesPerTrigger=4 over 8 files forces >1
+    batch) and the final emitted row per conversation must equal the batch
+    aggregation over all turns."""
+    from louvain_spark.streaming.ingest import stream_conversation_state
+    from louvain_spark.synth import transcripts_df
+    from pyspark.sql import functions as F
+
+    t = transcripts_df(spark, preset="tiny")
+    inp = str(tmp_path / "in")
+    t.repartition(8).write.mode("overwrite").parquet(inp)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_conversation_state(spark, inp, out, ckpt)
+    q.awaitTermination(120)
+
+    res = spark.read.parquet(out)
+    w = __import__("pyspark.sql", fromlist=["Window"]).Window.partitionBy(
+        "conv_id"
+    ).orderBy(F.col("batch_id").desc())
+    final = (
+        res.withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1")
+        .select("conv_id", "n_turns", "n_tool_turns", "first_us", "last_us")
+    )
+    want = t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.col("tool").isNotNull().cast("long")).alias("n_tool_turns"),
+        (F.unix_micros(F.min("ts"))).alias("first_us"),
+        (F.unix_micros(F.max("ts"))).alias("last_us"),
+    )
+    got_rows = {r["conv_id"]: tuple(r)[1:] for r in final.collect()}
+    want_rows = {r["conv_id"]: tuple(r)[1:] for r in want.collect()}
+    assert got_rows == want_rows
+    # state genuinely crossed batches: at least one conversation was
+    # emitted in more than one micro-batch
+    multi = res.groupBy("conv_id").count().where("count > 1").count()
+    assert multi > 0
