@@ -224,9 +224,11 @@ def scaling(sf_dir: str) -> None:
     - preset 'scale4' (19M turns): per-run serial floor (job scheduling,
       range-sampler, plan time, ~15-20s) must be small against per-core
       work, or the pair measures overhead amortization, not partitioning;
-    - host-noise guard: any stage with speedup < 1.0 at 4× cores flags a
+    - host-noise guard: any stage with speedup < 2.0 at 4× cores flags a
       contended run → both levels re-measured once, per-stage min taken
-      (the shared VM shows multi-minute interference spikes).
+      (the shared VM shows multi-minute interference spikes); raw attempt
+      JSONs persist to BENCH/scaling_attempts.json so a later session can
+      re-measure a single level and merge.
     """
     preset = os.environ.get("SPARK_GRAFT_SCALING_PRESET", "scale4")
     n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))

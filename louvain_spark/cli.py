@@ -117,11 +117,16 @@ def main(argv: list[str] | None = None) -> int:
             from louvain_spark.operators.louvain import resume_louvain
 
             suffix = args.operator.removeprefix("louvain").removeprefix("-")
-            out, mod = resume_louvain(
-                spark, args.run_id, args.checkpoint_dir,
-                resolution=args.resolution, seed=args.seed,
-                mode=suffix or args.mode,
-            )
+            try:
+                out, mod = resume_louvain(
+                    spark, args.run_id, args.checkpoint_dir,
+                    resolution=args.resolution, seed=args.seed,
+                    mode=suffix or args.mode,
+                )
+            except ValueError:
+                # same exit contract as the generic probe below
+                print("no checkpoint found", file=sys.stderr)
+                return 3
             print(f"modularity={mod}")
             out.write.mode("overwrite").parquet(args.output)
             return 0

@@ -245,7 +245,7 @@ def typed_edges(
     dst_col,
     etype: str,
     vertices: DataFrame | None = None,
-    broadcast_dict: bool = True,
+    broadcast_nodes: int = 4_000_000,
 ) -> DataFrame:
     """Directed typed relation edges — the co-occurrence-orthogonal edge
     family the reference materializes as Who-[:BELONGS_TO]->organization
@@ -254,10 +254,10 @@ def typed_edges(
 
     Aggregates BEFORE the dictionary join (map-side partial count, the
     wide shuffle carries only name pairs), then maps names→ids against
-    `vertices` (id, name) — broadcast below the usual dictionary gate,
-    shuffle join when broadcast_dict=False (dictionaries past executor
-    memory). Returns (src, dst, etype, weight) with ids when vertices is
-    given, else (src_name, dst_name, etype, weight).
+    `vertices` (id, name) — broadcast while the dictionary is below
+    broadcast_nodes rows (the same auto-gate as pagerank/lpa/louvain),
+    shuffle join above it. Returns (src, dst, etype, weight) with ids when
+    vertices is given, else (src_name, dst_name, etype, weight).
     """
     pairs = df.select(F.col(src_col).alias("_sn"), F.col(dst_col).alias("_dn"))
     agg = pairs.groupBy("_sn", "_dn").agg(
@@ -270,7 +270,7 @@ def typed_edges(
             F.lit(etype).alias("etype"),
             "weight",
         )
-    jb = F.broadcast if broadcast_dict else (lambda d: d)
+    jb = F.broadcast if vertices.count() <= broadcast_nodes else (lambda d: d)
     ds = jb(vertices.select(F.col("name").alias("_sn"), F.col("id").alias("src")))
     dd = jb(vertices.select(F.col("name").alias("_dn"), F.col("id").alias("dst")))
     return (

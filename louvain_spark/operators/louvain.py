@@ -367,6 +367,9 @@ def _one_level_parallel(
         )
         assign = _stats_reset(spark, merged, ckpt_dir, f"assign-l{level}-s{sweep}")
         moved = int(obs.get["n"])
+        # frees sweep 0's initial eager localCheckpoint blocks (|V|-sized);
+        # later sweeps' prev_assign is parquet-backed — a no-op there
+        prev_assign.unpersist()
         dim.unpersist()
         _mark("sweep-action")
         if _DBG:

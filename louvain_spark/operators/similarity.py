@@ -238,8 +238,16 @@ def cosine_topk_lsh(
     SQL-expressible — the driver oracle replays it verbatim.
     """
     planes = rademacher_planes(dim, n_planes, n_tables, seed)
-    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv"))
-    i = items.select(F.col(i_id).alias("item_id"), F.col(i_vec).alias("_iv"))
+    # snapshot both sides (eager localCheckpoint): each is consumed twice —
+    # once by the bucketing branch, once by the scoring rejoin — and
+    # without a snapshot the callers' upstream lineage (often a pandas-UDF
+    # featurize) would execute twice per side
+    q = queries.select(
+        F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv")
+    ).localCheckpoint(eager=True)
+    i = items.select(
+        F.col(i_id).alias("item_id"), F.col(i_vec).alias("_iv")
+    ).localCheckpoint(eager=True)
     qb = q.select(
         "query_id",
         "_qv",

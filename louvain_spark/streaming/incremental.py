@@ -23,11 +23,12 @@ from louvain_spark.plans.rank import dense_sorted_rank
 CLUSTER_MATCH_THRESHOLD = 0.8   # eventMove.py:459-463
 ORPHAN_MATCH_THRESHOLD = 0.95   # eventMove.py:602-692
 
-# above this many rows on either side, top-1 matching routes through the
+# above this many candidate PAIRS (|Q|·|I| — crossJoin cost is the
+# product, not either side alone), top-1 matching routes through the
 # cogrouped block nested-loop (cosine_topk_blocked) instead of the
-# crossJoin brute — |clusters|² is fine for thousands of centroids but a
+# crossJoin brute — fine for thousands of centroids per side, a
 # scale-killer at millions (VERDICT r2 #9)
-BLOCKED_MATCH_ABOVE = 50_000
+BLOCKED_MATCH_ABOVE = 25_000_000
 
 
 def _topk_auto(
@@ -37,20 +38,22 @@ def _topk_auto(
     min_sim: float,
     blocked_above: int = BLOCKED_MATCH_ABOVE,
 ) -> DataFrame:
-    """Exact top-k: crossJoin brute below the gate, blocked above it.
+    """Exact top-k: crossJoin brute below `blocked_above` pairs, blocked
+    nested-loop above it (identical results — the blocked form is a
+    complete nested loop, not approximate).
 
-    Both inputs are materialized aggregates (centroid/feature tables), so
-    the sizing counts are cheap; both strategies return identical results
-    (the blocked form is a complete nested loop, not approximate)."""
+    Inputs are snapshotted (eager localCheckpoint) BEFORE the sizing
+    counts: the centroid/featurize lineages behind them are the dominant
+    cost of a migration call, and counting then re-executing them for the
+    match would pay that cost twice per micro-batch."""
     from louvain_spark.operators.similarity import cosine_topk_blocked
 
-    if max(queries.count(), items.count()) <= blocked_above:
-        return cosine_topk_brute(
-            queries, items, k=k, min_sim=min_sim, exclude_self=False
-        )
+    q = queries.localCheckpoint(eager=True)
+    i = items.localCheckpoint(eager=True)
+    if q.count() * i.count() <= blocked_above:
+        return cosine_topk_brute(q, i, k=k, min_sim=min_sim, exclude_self=False)
     return cosine_topk_blocked(
-        queries.sparkSession, queries, items, k=k, min_sim=min_sim,
-        exclude_self=False,
+        q.sparkSession, q, i, k=k, min_sim=min_sim, exclude_self=False,
     )
 
 

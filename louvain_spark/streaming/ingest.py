@@ -192,7 +192,13 @@ def stream_conversation_state(
                 continue
             n += len(pdf)
             nt += int(pdf["tool"].notna().sum())
-            ts = pd.to_datetime(pdf["ts"])
+            # utc=True: Arrow hands the kernel tz-naive timestamps in the
+            # SESSION time zone; the engine pins UTC (session.py), under
+            # which naive==UTC and .value//1000 is true epoch micros. A
+            # caller-built session MUST also set
+            # spark.sql.session.timeZone=UTC for these state values to be
+            # unix times.
+            ts = pd.to_datetime(pdf["ts"], utc=True)
             mn = int(ts.min().value // 1000)
             mx = int(ts.max().value // 1000)
             first = mn if first is None else min(first, mn)
@@ -218,8 +224,9 @@ def stream_conversation_state(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+        # no isEmpty() pre-check: that would execute the stateful plan
+        # (state-store load + Python kernel) a second time per batch — an
+        # empty append is far cheaper than a duplicate execution
         batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
             "append"
         ).parquet(output_dir)
