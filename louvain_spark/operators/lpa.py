@@ -67,7 +67,10 @@ def label_propagation(
             .where(F.col("_rn") == 1)
             .select("id", F.col("nbr_label").alias("new_label"))
         )
-        new_labels = ids.join(jb(best), "id", "left").join(jb(labels), "id").select(
+        # labels spans exactly the vertex set (initialized from ids,
+        # preserved by construction) — joining ids back in would be a
+        # third join of pure per-superstep serial floor
+        new_labels = labels.join(jb(best), "id", "left").select(
             "id", F.coalesce("new_label", "community").alias("community"),
             (F.coalesce("new_label", "community") != F.col("community")).alias("_moved"),
         )

@@ -82,6 +82,11 @@ def pagerank(
     dangling = ranks.join(dangle_ids, "id", "left_semi").agg(
         F.coalesce(F.sum("score"), F.lit(0.0))
     ).collect()[0][0]
+    # fold the loop-invariant (ids ⋈ dangling-flag) ONCE: each superstep
+    # then plans 3 joins instead of 4 — per-superstep plan+schedule time is
+    # pure serial floor in the N→4N scaling budget
+    iddang = ids.join(dangle_ids.select("id", "_dangling"), "id", "left")
+    iddang = iddang.localCheckpoint(eager=True)
 
     for _ in range(max_iter):
         contribs = (
@@ -90,9 +95,8 @@ def pagerank(
             .agg(F.sum(F.col("frac") * F.col("score")).alias("c"))
         )
         scored = (
-            ids.join(jb(contribs), "id", "left")
+            iddang.join(jb(contribs), "id", "left")
             .join(jb(ranks.withColumnRenamed("score", "old")), "id")
-            .join(jb(dangle_ids.select("id", "_dangling")), "id", "left")
             .select(
                 "id",
                 (
