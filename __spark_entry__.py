@@ -382,6 +382,24 @@ def _unit_embeddings(spark, sf_dir):
     )
 
 
+def q_ann_topk_blocked(spark, sf_dir):
+    """The distributed scale path of exact ANN (cogrouped block
+    nested-loop, operators/similarity.py:cosine_topk_blocked) under the
+    same oracle as the brute baseline — the blocked form is a COMPLETE
+    nested loop, so its top-k is identical; small block sizes force
+    multi-cell cogroups even at sf0.01."""
+    from louvain_spark.operators.similarity import cosine_topk_blocked
+
+    unit = _unit_embeddings(spark, sf_dir)
+    top = cosine_topk_blocked(
+        spark, unit.where(F.col("id") < 20), unit, k=5,
+        query_block_rows=8, item_block_rows=64,
+    )
+    return top.select(
+        "query_id", "item_id", "rank", F.round("sim", 4).alias("sim_r4")
+    )
+
+
 def q_lsh_ann_topk(spark, sf_dir):
     """Approximate ANN scale path: sign-random-projection LSH buckets →
     exact re-rank of candidates (md5-seeded Rademacher planes, so the
@@ -452,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores_docs": q_quality_docs,
         "language_id_docs": q_language_id_docs,
         "ann_topk_embeddings": q_ann_topk,
+        "ann_topk_blocked_embeddings": q_ann_topk_blocked,
         "lsh_ann_topk_embeddings": q_lsh_ann_topk,
         "near_dup_embeddings": q_near_dup_embeddings,
         "prev_event_per_user": q_prev_event,
@@ -871,6 +890,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores_docs": _QUALITY_SQL,
         "language_id_docs": _LANG_SQL,
         "ann_topk_embeddings": _ANN_SQL,
+        "ann_topk_blocked_embeddings": _ANN_SQL,
         "lsh_ann_topk_embeddings": _lsh_ann_sql(),
         "near_dup_embeddings": """
         WITH unit AS (
