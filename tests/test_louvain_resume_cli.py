@@ -67,3 +67,24 @@ def test_cli_louvain(spark, tmp_path):
     assert rc == 0
     got = {r["id"]: r["community"] for r in spark.read.parquet(out).collect()}
     assert len(set(got.values())) == 2
+
+
+def test_cli_louvain_resume_missing_checkpoint_exit3(spark, tmp_path):
+    """The louvain resume branch must honor the CLI's exit-3 'no
+    checkpoint found' contract (not leak a ValueError traceback)."""
+    import sys
+
+    from louvain_spark.cli import main
+
+    # minimal valid parquet input so the CLI reaches the resume dispatch
+    inp = str(tmp_path / "edges")
+    spark.createDataFrame(
+        [(0, 1, 1.0)], "src long, dst long, weight double"
+    ).write.mode("overwrite").parquet(inp)
+    empty_ckpt = str(tmp_path / "no-such-run")
+    rc = main([
+        "resume", "--input", inp, "--output", str(tmp_path / "out"),
+        "--operator", "louvain", "--run-id", "nope",
+        "--checkpoint-dir", empty_ckpt,
+    ])
+    assert rc == 3
