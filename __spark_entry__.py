@@ -5,10 +5,11 @@ entry(spark)      — flagship: Louvain over the events co-occurrence graph
                     /root/reference/tool/Neo4jLouvainProcessor.py:282-287,
                     re-expressed Spark-first).
 queries()         — one callable per implemented operator (SURVEY.md §2).
-oracle_sql()      — DuckDB-equivalent ANSI SQL for every SQL-expressible
-                    query (iterative float ops — PageRank/Louvain/LPA —
-                    are rows-only by design; the pytest suite holds their
-                    numeric oracles instead).
+oracle_sql()      — DuckDB-equivalent ANSI SQL for every query: iterative
+                    ops are oracled too (PageRank/LPA via unrolled
+                    MATERIALIZED-CTE supersteps; Louvain via a committed
+                    golden partition generated from the independent
+                    vendored python-louvain-0.16 oracle).
 
 Float columns are either exact (integer cents / count aggregates) or
 rounded after deterministic arithmetic so cross-engine hashes match.
@@ -133,11 +134,19 @@ def q_pagerank(spark, sf_dir):
 
 
 def q_louvain(spark, sf_dir):
-    # mode='auto' (parallel level 0, exact coarse tail) — the 100TB code
-    # path; exact mode remains the pytest parity-test surface
+    # mode='exact' for the driver gate: the sequential-parity kernel whose
+    # partition the committed golden (tests/golden/, generated by
+    # tools/gen_louvain_golden.py from the *independent* vendored oracle,
+    # resolution=1.0 seed=42) reproduces exactly. Labels canonicalized to
+    # min member id so label-permutation-equal partitions hash equal.
+    # Auto mode (the 100TB path) keeps its own cross-master determinism +
+    # quality pytest coverage (tests/test_louvain.py).
     verts, edges = _graph(spark, sf_dir)
-    assign, _ = _louvain_auto(spark, edges, verts)
-    return assign.select("id", "community")
+    assign, _ = louvain(spark, edges, vertices=verts.select("id"), mode="exact")
+    canon = assign.groupBy("community").agg(F.min("id").alias("canon_com"))
+    return assign.join(canon, "community").select(
+        "id", F.col("canon_com").alias("community")
+    )
 
 
 def q_lpa(spark, sf_dir):
@@ -939,7 +948,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_events": _pagerank_sql(),
         "lpa_events": _lpa_sql(),
-        # louvain_events: sequential-visit-order-dependent by nature —
-        # rows-only by design; its numeric oracle (vendored python-louvain
-        # 0.16 semantics) lives in tests/test_louvain.py.
+        # louvain_events: DuckDB cannot replay sequential Louvain, but it
+        # can select the committed golden partition, generated from the
+        # independent vendored oracle (python-louvain 0.16 semantics) by
+        # tools/gen_louvain_golden.py at the driver's sf0.01 — engine exact
+        # mode must reproduce it bit-for-bit after min-id canonicalization.
+        # tests/test_louvain_golden.py guards against a stale golden.
+        "louvain_events": (
+            Path(__file__).resolve().parent
+            / "tests" / "golden" / "louvain_events_sf0_01.sql"
+        ).read_text(),
     }
