@@ -35,6 +35,18 @@ SF_PRESET = {"0.001": "tiny", "0.01": "small", "0.1": "bench"}
 SHUFFLE_PARTITIONS = 64
 
 
+def host_sentinel_ms() -> float:
+    """Wall-ms for a fixed single-thread pure-CPU workload (no Spark, no
+    allocation). Recorded with every bench leg: this shared VM drifts
+    10-50% day to day, so absolute bench numbers are only comparable when
+    their sentinels agree. Nominal ~350ms on a quiet host."""
+    t0 = time.monotonic()
+    acc = 0
+    for i in range(3_000_000):
+        acc = (acc * 1103515245 + i) & 0xFFFFFFFF
+    return round((time.monotonic() - t0) * 1000.0 + (acc & 0), 1)
+
+
 def run_bench(sf_dir: str, cpus: int) -> dict:
     from pyspark.sql import functions as F
 
@@ -63,7 +75,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         },
     )
     timings: dict[str, float] = {}
-    extra: dict[str, float] = {"cpus": cpus}
+    extra: dict[str, float] = {"cpus": cpus, "host_sentinel_pre_ms": host_sentinel_ms()}
 
     def timed(name):
         class _T:
@@ -170,6 +182,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         )
         cosine_topk_blocked(spark, unit, unit, k=10).count()
 
+    extra["host_sentinel_post_ms"] = host_sentinel_ms()
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "louvain_spark bench: co-occurrence induction + graph ops + relational + dedup/ANN",
@@ -241,14 +254,26 @@ def scaling(sf_dir: str) -> None:
         return rs, rb
 
     attempts = [measure_pair()]
-    # host-noise guard: this shared VM shows multi-minute interference
-    # spikes (documented r2/r3); a stage whose 4N time exceeds 1/2 its N
-    # time (speedup < 2 at 4x cores) or an outright inversion flags a
-    # contended run -> re-measure the pair once, take per-stage min
-    anomaly = any(
-        attempts[0][1]["queries"][k] > attempts[0][0]["queries"][k] / 2.0
-        for k in STAGES
-    )
+
+    def pair_anomaly(pair) -> str | None:
+        """Contention check on EITHER side of the pair (an inflated N
+        baseline inflates apparent speedup and would otherwise pass
+        silently — ADVICE r3). Two symmetric signals:
+        - a stage with speedup < 2.0 at 4x cores (slow 4N side);
+        - the pure-CPU sentinel disagreeing > 25% between the two legs
+          (whichever side was contended, sentinel drift exposes it)."""
+        rs, rb = pair
+        if any(rb["queries"][k] > rs["queries"][k] / 2.0 for k in STAGES):
+            return "stage speedup < 2.0 at 4x cores"
+        sents = [
+            min(r["extra"]["host_sentinel_pre_ms"], r["extra"]["host_sentinel_post_ms"])
+            for r in (rs, rb)
+        ]
+        if max(sents) > 1.25 * min(sents):
+            return f"host sentinel drift {sents[0]:.0f}ms vs {sents[1]:.0f}ms"
+        return None
+
+    anomaly = pair_anomaly(attempts[0])
     if anomaly:
         attempts.append(measure_pair())
     # persist raw attempts so a later session can re-measure one level and
@@ -295,7 +320,19 @@ def scaling(sf_dir: str) -> None:
             f.write(f"| {name} | {t_s} | {t_b} | {sp}x | {eff} |\n")
         f.write(
             f"\npreset={preset}; attempts per level: {len(attempts)}"
-            f"{' (host-noise anomaly → re-measured, per-stage min)' if len(attempts) > 1 else ''}\n"
+            f"{f' (host-noise anomaly [{anomaly}] → re-measured, per-stage min)' if len(attempts) > 1 else ''}\n"
+        )
+        sent = [
+            (
+                r["extra"]["host_sentinel_pre_ms"],
+                r["extra"]["host_sentinel_post_ms"],
+            )
+            for r in attempts[0]
+        ]
+        f.write(
+            f"host sentinel (pure-CPU ms, pre/post; equal sentinels ⇒ "
+            f"comparable legs): @{n}: {sent[0][0]}/{sent[0][1]}, "
+            f"@{n4}: {sent[1][0]}/{sent[1][1]}\n"
         )
         f.write(
             f"\n### Why N={n} (not 8↔32)\n\n"

@@ -114,7 +114,10 @@ def main(argv: list[str] | None = None) -> int:
             # resume_louvain does its own per-level ledger lookup — the
             # generic probe below would filter on the bare operator name,
             # match nothing, and wrongly report 'no checkpoint found'
-            from louvain_spark.operators.louvain import resume_louvain
+            from louvain_spark.operators.louvain import (
+                NoCheckpointError,
+                resume_louvain,
+            )
 
             suffix = args.operator.removeprefix("louvain").removeprefix("-")
             try:
@@ -123,8 +126,10 @@ def main(argv: list[str] | None = None) -> int:
                     resolution=args.resolution, seed=args.seed,
                     mode=suffix or args.mode,
                 )
-            except ValueError:
-                # same exit contract as the generic probe below
+            except NoCheckpointError:
+                # same exit contract as the generic probe below; any other
+                # error mid-resume propagates instead of masquerading as
+                # 'no checkpoint found'
                 print("no checkpoint found", file=sys.stderr)
                 return 3
             print(f"modularity={mod}")

@@ -60,6 +60,14 @@ from louvain_spark.operators.graph import vertex_ids
 from louvain_spark.plans.loop import StepResult, SuperstepRunner
 
 
+class NoCheckpointError(ValueError):
+    """resume_louvain's ledger probe found no checkpoint for the run.
+
+    Subclasses ValueError for callers that caught the old shape, but lets
+    the CLI distinguish 'nothing to resume' (exit 3) from an unrelated
+    ValueError raised mid-recomputation (which must propagate)."""
+
+
 def _stats_reset(spark: SparkSession, df: DataFrame, base_dir: str, tag: str) -> DataFrame:
     """Parquet write-read roundtrip to reset Catalyst size estimates.
 
@@ -569,7 +577,9 @@ def resume_louvain(
         spark, run_id, f"louvain-{mode}", checkpoint_dir
     )
     if mapping is None:
-        raise ValueError(f"no louvain checkpoint for run_id={run_id} in {checkpoint_dir}")
+        raise NoCheckpointError(
+            f"no louvain checkpoint for run_id={run_id} in {checkpoint_dir}"
+        )
     ledger = spark.read.parquet(runner.ledger_path)
     mod = (
         ledger.where(

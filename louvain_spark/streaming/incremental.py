@@ -37,36 +37,69 @@ def _topk_auto(
     k: int,
     min_sim: float,
     blocked_above: int = BLOCKED_MATCH_ABOVE,
+    sizes: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Exact top-k: crossJoin brute below `blocked_above` pairs, blocked
-    nested-loop above it (identical results — the blocked form is a
-    complete nested loop, not approximate).
+    nested-loop above it. Both forms enumerate every pair, so results are
+    identical up to float summation order (brute folds the dot product
+    sequentially in Catalyst, blocked uses numpy matmul) — near-tie
+    similarities can rank differently across the gate.
 
-    Inputs are snapshotted (eager localCheckpoint) BEFORE the sizing
-    counts: the centroid/featurize lineages behind them are the dominant
-    cost of a migration call, and counting then re-executing them for the
-    match would pay that cost twice per micro-batch."""
+    Inputs are snapshotted (eager localCheckpoint) BEFORE sizing: the
+    centroid/featurize lineages behind them are the dominant cost of a
+    migration call, and counting then re-executing them for the match
+    would pay that cost twice per micro-batch. Row counts ride the
+    snapshot action itself via Observation (one job per side, no separate
+    count() jobs); callers that already know the sizes pass `sizes` and
+    the match is the only job."""
+    from pyspark.sql import Observation
+
     from louvain_spark.operators.similarity import cosine_topk_blocked
 
-    q = queries.localCheckpoint(eager=True)
-    i = items.localCheckpoint(eager=True)
-    if q.count() * i.count() <= blocked_above:
+    if sizes is None:
+        obs_q, obs_i = Observation(), Observation()
+        q = queries.observe(obs_q, F.count(F.lit(1)).alias("n")).localCheckpoint(
+            eager=True
+        )
+        i = items.observe(obs_i, F.count(F.lit(1)).alias("n")).localCheckpoint(
+            eager=True
+        )
+        n_q, n_i = obs_q.get["n"], obs_i.get["n"]
+    else:
+        q = queries.localCheckpoint(eager=True)
+        i = items.localCheckpoint(eager=True)
+        n_q, n_i = sizes
+    if n_q * n_i <= blocked_above:
         return cosine_topk_brute(q, i, k=k, min_sim=min_sim, exclude_self=False)
     return cosine_topk_blocked(
         q.sparkSession, q, i, k=k, min_sim=min_sim, exclude_self=False,
     )
 
 
+# above this vector dim, the per-index F.sum aggregate (dim expressions in
+# one groupBy) stresses Catalyst's expression tree — the reference's real
+# embedding dim is 1024 (tool/TextProcessor.py:25); switch to posexplode,
+# which keeps the plan at 3 fixed-width aggregates regardless of dim
+WIDE_AGG_MAX_DIM = 128
+
+
 def cluster_centroids(
-    assignments: DataFrame, attrs: DataFrame, text_col: str = "text", dim: int = 64
+    assignments: DataFrame,
+    attrs: DataFrame,
+    text_col: str = "text",
+    dim: int = 64,
+    wide_agg: bool | None = None,
 ) -> DataFrame:
     """(community, centroid) — mean of member text features, re-normalized.
 
     attrs: (id, <text_col>) vertex attributes. The deterministic stand-in
-    for the reference's per-cluster why/what embeddings.
+    for the reference's per-cluster why/what embeddings. wide_agg overrides
+    the dim-based path choice (tests only); both paths are exact.
     """
     vec = featurize(F.coalesce(F.col(text_col), F.lit("")), dim=dim)
     member_vecs = assignments.join(attrs, "id").select("community", vec.alias("v"))
+    if wide_agg is False or (wide_agg is None and dim > WIDE_AGG_MAX_DIM):
+        return _centroids_exploded(member_vecs)
     n = member_vecs.groupBy("community").agg(
         F.count(F.lit(1)).alias("n"),
         F.array(*[F.sum(F.col("v")[i]).alias(f"s{i}") for i in range(dim)]).alias("sums"),
@@ -74,6 +107,25 @@ def cluster_centroids(
     mean = n.select(
         "community",
         F.transform("sums", lambda s: (s / F.col("n")).cast("float")).alias("centroid"),
+    )
+    return mean.select("community", l2_normalize("centroid").alias("centroid"))
+
+
+def _centroids_exploded(member_vecs: DataFrame) -> DataFrame:
+    """High-dim centroid path: dim lives in ROWS (posexplode), so the agg
+    is 1 expression over (community, pos) instead of dim expressions over
+    community. Two shuffles on uniformly-distributed keys; mean computed
+    per index then reassembled in vector order via array_sort(collect_list)
+    on (pos, mean) structs."""
+    ex = member_vecs.select("community", F.posexplode("v").alias("pos", "x"))
+    per_index = ex.groupBy("community", "pos").agg(
+        (F.sum("x") / F.count(F.lit(1))).alias("m")
+    )
+    mean = per_index.groupBy("community").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"].cast("float"),
+        ).alias("centroid")
     )
     return mean.select("community", l2_normalize("centroid").alias("centroid"))
 

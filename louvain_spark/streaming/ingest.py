@@ -179,6 +179,17 @@ def stream_conversation_state(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    # fail fast instead of silently shifting first_us/last_us: the state
+    # kernel's epoch-micros arithmetic is only correct under the engine's
+    # UTC session contract (see the utc=True note below)
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise ValueError(
+            f"stream_conversation_state requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}); build the session via louvain_spark.get_spark or set "
+            f"the conf before starting the stream"
+        )
+
     out_schema = (
         "conv_id string, n_turns long, n_tool_turns long, "
         "first_us long, last_us long"

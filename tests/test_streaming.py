@@ -51,6 +51,37 @@ def test_centroids_unit_norm(spark):
     assert abs(np.linalg.norm(v) - 1.0) < 1e-5
 
 
+def test_centroids_exploded_path_matches_wide(spark):
+    """dim>128 routes to the posexplode path (VERDICT r3 #4: 1024 per-index
+    agg expressions stress Catalyst at the reference's real embedding dim).
+    Both paths are exact — same centroids to float tolerance — and the
+    high-dim plan must not contain a dim-wide aggregate expression list."""
+    import numpy as np
+
+    assign = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1), (5, 1)], "id long, community long"
+    )
+    attrs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["hello world", "hello spark", "graph engine", "louvain pass", "edge table"],
+            start=1,
+        )],
+        "id long, text string",
+    )
+    dim = 1024
+    wide = {r["community"]: r["centroid"]
+            for r in cluster_centroids(assign, attrs, dim=dim, wide_agg=True).collect()}
+    expl = cluster_centroids(assign, attrs, dim=dim)  # auto-routes: dim > 128
+    plan = expl._jdf.queryExecution().optimizedPlan().toString()
+    assert "posexplode" in plan or "Generate" in plan
+    assert "s900" not in plan  # no per-index sum aliases in the high-dim plan
+    got = {r["community"]: r["centroid"] for r in expl.collect()}
+    assert set(got) == set(wide)
+    for c in got:
+        assert np.allclose(np.array(got[c]), np.array(wide[c]), atol=1e-6)
+        assert abs(np.linalg.norm(np.array(got[c])) - 1.0) < 1e-5
+
+
 def test_stream_ingestion_equals_batch(spark, tmp_path):
     """availableNow file stream over transcript chunks == batch induction."""
     t = transcripts_df(spark, n_conv=30, seed=5)
@@ -216,3 +247,21 @@ def test_stream_conversation_state_across_batches(spark, tmp_path):
     # emitted in more than one micro-batch
     multi = res.groupBy("conv_id").count().where("count > 1").count()
     assert multi > 0
+
+
+def test_conversation_state_requires_utc(spark, tmp_path):
+    """ADVICE r3: the epoch-micros state contract is only valid under
+    spark.sql.session.timeZone=UTC — fail fast, don't silently shift."""
+    import pytest
+
+    from louvain_spark.streaming.ingest import stream_conversation_state
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="timeZone"):
+            stream_conversation_state(
+                spark, str(tmp_path / "in"), str(tmp_path / "out"),
+                str(tmp_path / "ck"),
+            )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
