@@ -182,6 +182,51 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         )
         cosine_topk_blocked(spark, unit, unit, k=10).count()
 
+    # --- LSH ANN at scale on CLUSTERED vectors (the declared 100TB path's
+    # worst case: tight near-duplicate clusters land whole in one bucket
+    # per table — hot cells). Vectors are synthesized JVM-side (80% in
+    # ~n/600 tight clusters, 20% background) and staged through parquet;
+    # max_bucket caps hot cells so cost is linear, not quadratic, in
+    # cluster size. Candidate count recorded as the ≪|Q|·|I| evidence.
+    from louvain_spark.operators.similarity import (
+        _lsh_candidates,
+        cosine_topk_lsh,
+        rademacher_planes,
+    )
+
+    n_vec = {"tiny": 2000, "small": 6000, "bench": 30000}.get(preset, 6000)
+    n_clusters = max(10, n_vec // 600)
+    dim_v = 64
+    raw = spark.range(n_vec).select(
+        "id",
+        F.when(
+            F.col("id") < int(n_vec * 0.8), F.pmod("id", F.lit(n_clusters))
+        ).otherwise(-F.col("id")).alias("c"),
+    )
+    rawvec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim_v - 1)),
+        lambda d: F.cos(F.col("c") * (d + 1) * 0.7)
+        + 0.03 * F.cos(F.col("id") * (d + 13) * 1.3),
+    )
+    vnorm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
+    raw.select("id", rawvec.alias("v")).select(
+        "id", F.transform("v", lambda x: x / vnorm).alias("vec")
+    ).repartition(SHUFFLE_PARTITIONS).write.mode("overwrite").parquet(f"{work}/vecs")
+    cvecs = spark.read.parquet(f"{work}/vecs")
+    planes = rademacher_planes(dim_v, 10, 4, 42)
+    extra["lsh_vectors"] = n_vec
+    extra["lsh_candidates"] = _lsh_candidates(
+        cvecs.select(F.col("id").alias("query_id"), F.col("vec").alias("_qv")),
+        cvecs.select(F.col("id").alias("item_id"), F.col("vec").alias("_iv")),
+        planes, 4, True, 128,
+    ).count()
+    extra["lsh_candidate_frac"] = round(extra["lsh_candidates"] / (n_vec * n_vec), 5)
+    with timed("lsh_ann_topk"):
+        cosine_topk_lsh(
+            spark, cvecs, cvecs, k=10, dim=dim_v, n_planes=10, n_tables=4,
+            max_bucket=128,
+        ).count()
+
     extra["host_sentinel_post_ms"] = host_sentinel_ms()
     total = round(sum(timings.values()), 3)
     result = {
