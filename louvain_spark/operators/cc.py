@@ -81,6 +81,15 @@ def connected_components(
     AQE-splittable join back, the right shape for power-law hubs) or
     'window' (one shuffle per rewrite but the hub's whole neighborhood
     funnels through one window task — only for degree-bounded graphs).
+
+    Round batching (chaining 2 rounds per action to halve the per-action
+    serial floor, r3 VERDICT #5) was tried and MEASURED WORSE — 4-5x wall
+    at both 2 and 32 cores (BENCH/batching_r4.md): each round is a
+    union+distinct over the full edge set, and chaining two of them in one
+    plan loses the materialized boundary that keeps the second round's
+    shuffle sizes and join strategies sane. PageRank keeps batching (its
+    intermediate is a narrow (id,score) table); CC stays one round per
+    action by design.
     """
     if runner is None:
         runner = SuperstepRunner(spark, "adhoc", "cc")

@@ -33,6 +33,7 @@ def pagerank(
     runner: SuperstepRunner | None = None,
     broadcast_nodes: int = 4_000_000,
     start_state: DataFrame | None = None,
+    steps_per_action: int = 2,
 ) -> DataFrame:
     """scores(id, score) summing to 1.0 at convergence.
 
@@ -43,6 +44,15 @@ def pagerank(
     dimension tables ship as broadcast hash joins — the only shuffle per
     superstep is the contribution groupBy. Above it, shuffle joins (the
     regime where the dimensions no longer fit executor memory).
+
+    steps_per_action chains that many supersteps into ONE driver action
+    (r3 VERDICT #5: the ~2s/action plan+schedule floor dominates N→4N
+    scaling at low core counts). Inside a batch the next step's dangling
+    mass is a 1-row in-plan aggregate (broadcast crossJoin) instead of an
+    observed scalar, intermediate ranks are persisted so the single job
+    computes each step once, and convergence (L∞ < tol) is checked at
+    batch boundaries — never earlier than the per-step check, and a
+    converged trajectory is fixpoint-invariant under the extra steps.
     """
     if runner is None:
         runner = SuperstepRunner(spark, "adhoc", "pagerank")
@@ -88,28 +98,49 @@ def pagerank(
     iddang = ids.join(dangle_ids.select("id", "_dangling"), "id", "left")
     iddang = iddang.localCheckpoint(eager=True)
 
-    for _ in range(max_iter):
-        contribs = (
-            frac.join(jb(ranks.withColumnRenamed("id", "src")), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum(F.col("frac") * F.col("score")).alias("c"))
-        )
-        scored = (
-            iddang.join(jb(contribs), "id", "left")
-            .join(jb(ranks.withColumnRenamed("score", "old")), "id")
-            .select(
-                "id",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n))
-                ).alias("score"),
-                "old",
-                "_dangling",
+    spa = max(1, int(steps_per_action))
+    done = 0
+    while done < max_iter:
+        batch = min(spa, max_iter - done)
+        cur, inner = ranks, []
+        dang_over_n = F.lit(dangling / n)  # observed scalar for step 0
+        scored = None
+        for s in range(batch):
+            contribs = (
+                frac.join(jb(cur.withColumnRenamed("id", "src")), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum(F.col("frac") * F.col("score")).alias("c"))
             )
-        )
-        # convergence scalars (L∞ delta + next step's dangling mass) ride
-        # the checkpoint action as observed metrics — ONE job per superstep
+            base = iddang if s == 0 else iddang.crossJoin(F.broadcast(dm))
+            scored = (
+                base.join(jb(contribs), "id", "left")
+                .join(jb(cur.withColumnRenamed("score", "old")), "id")
+                .select(
+                    "id",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping)
+                        * (F.coalesce(F.col("c"), F.lit(0.0)) + dang_over_n)
+                    ).alias("score"),
+                    "old",
+                    "_dangling",
+                )
+            )
+            if s < batch - 1:
+                # persist (no action): the one batch job computes this step
+                # once and later stages read the cache — without it the
+                # next step's 3 references would recompute the subtree
+                scored = scored.persist()
+                inner.append(scored)
+                # next step's dangling mass as an in-plan 1-row broadcast
+                dm = scored.where("_dangling").agg(
+                    F.coalesce(F.sum("score"), F.lit(0.0)).alias("_dm")
+                )
+                dang_over_n = F.col("_dm") / F.lit(float(n))
+                cur = scored.select("id", "score")
+        # convergence scalars (last step's L∞ delta + next batch's dangling
+        # mass) ride the checkpoint action as observed metrics — ONE Spark
+        # job per batch of steps_per_action supersteps
         obs = Observation()
         new_ranks = scored.observe(
             obs,
@@ -119,11 +150,14 @@ def pagerank(
             ).alias("dangling"),
         ).select("id", "score")
         new_ranks = runner.advance(
-            StepResult(new_ranks, observation=obs, metric_key="delta")
+            StepResult(new_ranks, observation=obs, metric_key="delta", steps=batch)
         )
+        for df in inner:
+            df.unpersist()
         stats = obs.get
         delta, dangling = float(stats["delta"]), float(stats["dangling"])
         ranks = new_ranks
+        done += batch
         if delta < tol:
             break
     frac.unpersist()

@@ -33,6 +33,12 @@ class StepResult:
     observation: object | None = None  # pyspark.sql.Observation
     moved_key: str | None = None
     metric_key: str | None = None
+    # logical supersteps this advance represents: operators that chain
+    # multiple supersteps into one action (CC round pairs, PageRank
+    # steps_per_action) pass >1 so the ledger/checkpoint counter stays in
+    # LOGICAL superstep units — resume and max_iter accounting agree with
+    # the unbatched trajectory
+    steps: int = 1
 
 
 class SuperstepRunner:
@@ -70,6 +76,7 @@ class SuperstepRunner:
         self.checkpoint_every = max(1, checkpoint_every)
         self.stats_reset_every = max(1, stats_reset_every)
         self.superstep = -1
+        self._ckpt_bucket = -1  # last superstep//checkpoint_every checkpointed
         self._persisted: DataFrame | None = None
         self._local_since_reset = 0
         self._resets = 0
@@ -174,17 +181,21 @@ class SuperstepRunner:
 
     def advance(self, result: StepResult) -> DataFrame:
         """Record one completed superstep; return the lineage-cut state."""
-        self.superstep += 1
+        self.superstep += max(1, int(result.steps))
         t0 = time.monotonic()
         state = result.state
         ckpt_path = None
+        # bucket comparison (not modulo): a batched advance can jump the
+        # counter past a multiple of checkpoint_every and must still
+        # checkpoint when it crosses one
         if (
             self.checkpoint_dir is not None
-            and self.superstep % self.checkpoint_every == 0
+            and self.superstep // self.checkpoint_every > self._ckpt_bucket
         ):
             ckpt_path = self._ckpt_path(self.superstep)
             state.write.mode("overwrite").parquet(ckpt_path)
             state = self.spark.read.parquet(ckpt_path)
+            self._ckpt_bucket = self.superstep // self.checkpoint_every
             self._local_since_reset = 0  # parquet roundtrip resets stats too
         elif self._local_since_reset + 1 >= self.stats_reset_every:
             # alternate between two paths so a reset never overwrites the
