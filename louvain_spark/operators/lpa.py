@@ -27,6 +27,7 @@ def label_propagation(
     runner: SuperstepRunner | None = None,
     broadcast_nodes: int = 4_000_000,
     start_state: DataFrame | None = None,
+    steps_per_action: int = 2,
 ) -> DataFrame:
     """assignments(id, community) — community = converged label (init: own id).
 
@@ -36,6 +37,14 @@ def label_propagation(
     Below broadcast_nodes vertices the per-superstep label table ships as
     broadcast hash joins (one shuffle per superstep: the histogram
     groupBy); above it, shuffle joins.
+
+    steps_per_action chains that many synchronous supersteps into one
+    driver action (same floor-cutting pattern as pagerank; the chained
+    intermediate is the narrow (id, community) label table, persisted so
+    the single batch job computes each step once). Fixpoint (moved == 0,
+    observed on the LAST step of the batch) is checked at batch
+    boundaries; a converged state is invariant under the extra step, so
+    the final labels are identical to the unbatched trajectory.
     """
     if runner is None:
         runner = SuperstepRunner(spark, "adhoc", "lpa")
@@ -52,39 +61,56 @@ def label_propagation(
         labels = ids.select("id", F.col("id").alias("community"))
         labels = runner.advance(StepResult(labels))
 
-    for _ in range(max_iter):
-        hist = (
-            adj.join(
-                jb(labels.select(F.col("id").alias("dst"), F.col("community").alias("nbr_label"))),
-                "dst",
+    spa = max(1, int(steps_per_action))
+    done = 0
+    while done < max_iter:
+        batch = min(spa, max_iter - done)
+        cur, inner = labels, []
+        new_labels = None
+        for s in range(batch):
+            hist = (
+                adj.join(
+                    jb(cur.select(F.col("id").alias("dst"), F.col("community").alias("nbr_label"))),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("id"), F.col("nbr_label"))
+                .agg(F.sum("w").alias("s"))
             )
-            .groupBy(F.col("src").alias("id"), F.col("nbr_label"))
-            .agg(F.sum("w").alias("s"))
-        )
-        win = Window.partitionBy("id").orderBy(F.col("s").desc(), F.col("nbr_label").asc())
-        best = (
-            hist.withColumn("_rn", F.row_number().over(win))
-            .where(F.col("_rn") == 1)
-            .select("id", F.col("nbr_label").alias("new_label"))
-        )
-        # labels spans exactly the vertex set (initialized from ids,
-        # preserved by construction) — joining ids back in would be a
-        # third join of pure per-superstep serial floor
-        new_labels = labels.join(jb(best), "id", "left").select(
-            "id", F.coalesce("new_label", "community").alias("community"),
-            (F.coalesce("new_label", "community") != F.col("community")).alias("_moved"),
-        )
-        # moved-count rides the checkpoint action — one job per superstep
+            win = Window.partitionBy("id").orderBy(F.col("s").desc(), F.col("nbr_label").asc())
+            best = (
+                hist.withColumn("_rn", F.row_number().over(win))
+                .where(F.col("_rn") == 1)
+                .select("id", F.col("nbr_label").alias("new_label"))
+            )
+            # labels spans exactly the vertex set (initialized from ids,
+            # preserved by construction) — joining ids back in would be a
+            # third join of pure per-superstep serial floor
+            new_labels = cur.join(jb(best), "id", "left").select(
+                "id", F.coalesce("new_label", "community").alias("community"),
+                (F.coalesce("new_label", "community") != F.col("community")).alias("_moved"),
+            )
+            if s < batch - 1:
+                # persist (no action): the batch job computes this step
+                # once; the next step references it via histogram + merge
+                nxt = new_labels.select("id", "community").persist()
+                inner.append(nxt)
+                cur = nxt
+        # moved-count (last step of the batch) rides the checkpoint action
+        # — one job per batch of steps_per_action supersteps
         obs = Observation()
         observed = new_labels.observe(
             obs, F.coalesce(F.sum(F.col("_moved").cast("long")), F.lit(0)).alias("moved")
         )
         labels = runner.advance(
             StepResult(
-                observed.select("id", "community"), observation=obs, moved_key="moved"
+                observed.select("id", "community"), observation=obs,
+                moved_key="moved", steps=batch,
             )
         )
+        for df in inner:
+            df.unpersist()
         moved = int(obs.get["moved"])
+        done += batch
         if moved == 0:
             break
     adj.unpersist()
