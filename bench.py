@@ -107,10 +107,22 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     def timed(name):
         class _T:
             def __enter__(self):
+                print(f"[bench] {name} start", file=sys.stderr, flush=True)
                 self.t0 = time.monotonic()
 
             def __exit__(self, *a):
                 timings[name] = round(time.monotonic() - self.t0, 3)
+                print(
+                    f"[bench] {name} done {timings[name]}s",
+                    file=sys.stderr, flush=True,
+                )
+                # drop py4j refs from the finished stage so ContextCleaner
+                # can release its localCheckpoint/broadcast blocks before
+                # the next stage builds (at 4g/core a stale CC state plus a
+                # fresh |V| broadcast was enough to OOM the PR frac build)
+                import gc
+
+                gc.collect()
 
         return _T()
 
@@ -292,8 +304,14 @@ def run_subprocess(
         text=True,
         timeout=5400,
     )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        sys.stderr.write(
+            f"bench subprocess rc={out.returncode}, no JSON line; tail of "
+            f"child stderr:\n{out.stderr[-4000:]}\n"
+        )
+        raise RuntimeError("bench subprocess produced no JSON line")
+    return json.loads(lines[-1])
 
 
 STAGES = ("induce_edges", "connected_components", "pagerank_10it", "louvain_parallel")

@@ -70,9 +70,14 @@ def pagerank(
         return spark.createDataFrame([], "id long, score double")
 
     out_strength = adj.groupBy("src").agg(F.sum("w").alias("out_w"))
-    # normalized contribution fraction per edge is loop-invariant: cache it
+    # normalized contribution fraction per edge is loop-invariant: cache it.
+    # shuffle_hash hint: out_strength is O(|V|) — left to AQE this join can
+    # pick a |V|-sized broadcast whose driver-side build OOMs at tight
+    # per-core memory (observed at scale4/1core/4g) and would never fit on
+    # a 100TB graph; both sides key on src, so a shuffle hash join is the
+    # scale shape
     frac = (
-        adj.join(out_strength, "src")
+        adj.join(out_strength.hint("shuffle_hash"), "src")
         .select("src", "dst", (F.col("w") / F.col("out_w")).alias("frac"))
         .persist()
     )
@@ -87,7 +92,8 @@ def pagerank(
         ranks = runner.advance(StepResult(ranks))
     # dangling = vertices with no out-edges; mark once (tiny, loop-invariant)
     dangle_ids = ids.join(
-        out_strength.select(F.col("src").alias("id")), "id", "left_anti"
+        out_strength.select(F.col("src").alias("id")).hint("shuffle_hash"),
+        "id", "left_anti",
     ).withColumn("_dangling", F.lit(True)).localCheckpoint(eager=True)
     dangling = ranks.join(dangle_ids, "id", "left_semi").agg(
         F.coalesce(F.sum("score"), F.lit(0.0))
