@@ -118,20 +118,21 @@ def pagerank(
                 .agg(F.sum(F.col("frac") * F.col("score")).alias("c"))
             )
             base = iddang if s == 0 else iddang.crossJoin(F.broadcast(dm))
-            scored = (
-                base.join(jb(contribs), "id", "left")
-                .join(jb(cur.withColumnRenamed("score", "old")), "id")
-                .select(
-                    "id",
-                    (
-                        F.lit((1.0 - damping) / n)
-                        + F.lit(damping)
-                        * (F.coalesce(F.col("c"), F.lit(0.0)) + dang_over_n)
-                    ).alias("score"),
-                    "old",
-                    "_dangling",
-                )
-            )
+            score_expr = (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (F.coalesce(F.col("c"), F.lit(0.0)) + dang_over_n)
+            ).alias("score")
+            joined = base.join(jb(contribs), "id", "left")
+            if s == batch - 1:
+                # only the batch's LAST step needs previous scores (the
+                # observed L-inf delta); intermediate steps skip this
+                # |V|-sized broadcast join entirely
+                scored = joined.join(
+                    jb(cur.withColumnRenamed("score", "old")), "id"
+                ).select("id", score_expr, "old", "_dangling")
+            else:
+                scored = joined.select("id", score_expr, "_dangling")
             if s < batch - 1:
                 # persist (no action): the one batch job computes this step
                 # once and later stages read the cache — without it the
