@@ -7,10 +7,10 @@ driver testdata at $SPARK_GRAFT_SF_DIR.
 
 Modes:
   python bench.py                 # single run → one JSON line on stdout
-  python bench.py --scaling       # run the same job at local[8] and
-                                  # local[32] in fresh processes, report
-                                  # throughput + efficiency, update
-                                  # BENCH/BASELINE.md
+  python bench.py --scaling       # run the same job at local[N] and
+                                  # local[4N] (default N=1) in fresh
+                                  # processes, report throughput +
+                                  # efficiency, update BENCH/BASELINE.md
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32).

@@ -64,3 +64,56 @@ def test_lpa_oscillating_bipartite_40_supersteps(spark):
     # side's min label from the previous flip: A=own-min? — trace: step1
     # A->4, B->0; step2 A->0, B->4; ... even steps = (A=0, B=4)
     assert all(got[u] == 0 for u in a) and all(got[v] == 4 for v in b)
+
+
+def test_pagerank_batch_sizes_same_trajectory(spark):
+    """steps_per_action must be a pure batching knob: odd sizes, sizes
+    that don't divide max_iter, and size 1 all produce the identical
+    fixed-step trajectory."""
+    import numpy as np
+
+    from louvain_spark.operators.pagerank import pagerank
+    from tests import graphs
+    from tests.conftest import edges_df
+
+    edges, n = graphs.g_random(40, 0.12, seed=11, weighted=True)
+    e = edges_df(spark, edges)
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    ref = None
+    for spa in (1, 2, 3, 7):
+        got = {
+            r["id"]: r["score"]
+            for r in pagerank(
+                spark, e, vertices=verts, max_iter=7, tol=0.0,
+                steps_per_action=spa,
+            ).collect()
+        }
+        if ref is None:
+            ref = got
+        else:
+            assert set(got) == set(ref)
+            for i in ref:
+                assert abs(got[i] - ref[i]) < 1e-12, (spa, i)
+
+
+def test_lpa_batch_sizes_same_partition(spark):
+    """LPA batching parity: same labels for any steps_per_action."""
+    from louvain_spark.operators.lpa import label_propagation
+    from tests import graphs
+    from tests.conftest import edges_df
+
+    edges, n = graphs.g_ring_of_cliques(k=5, c=4)
+    e = edges_df(spark, edges)
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    ref = None
+    for spa in (1, 2, 3):
+        got = {
+            r["id"]: r["community"]
+            for r in label_propagation(
+                spark, e, vertices=verts, max_iter=9, steps_per_action=spa
+            ).collect()
+        }
+        if ref is None:
+            ref = got
+        else:
+            assert got == ref, spa
