@@ -320,3 +320,130 @@ def cosine_topk_lsh(
         scored = scored.where(F.col("sim") >= min_sim)
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("item_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def train_ivf_centroids(
+    items: DataFrame,
+    dim: int,
+    n_lists: int = 64,
+    kmeans_iters: int = 5,
+    sample: int = 4096,
+    i_vec: str = "vec",
+    i_id: str = "id",
+) -> list[list[float]]:
+    """Deterministic spherical k-means coarse quantizer for IVF.
+
+    Trains on a bounded, hash-ordered sample (O(sample·dim) driver memory —
+    the ONLY driver-side step of the IVF path, and it is capped regardless
+    of |items|): init = first n_lists vectors in xxhash64(id) order,
+    assign by max dot product, recenter + re-normalize, fixed iteration
+    count. Pure function of the data — no RNG — so the index is
+    reproducible across runs and masters.
+    """
+    rows = (
+        items.select(F.col(i_id).alias("_id"), F.col(i_vec).alias("_v"))
+        .orderBy(F.xxhash64("_id").asc(), F.col("_id").asc())
+        .limit(int(sample))
+        .collect()
+    )
+    x = np.array([list(r["_v"]) for r in rows], dtype=np.float64)
+    if len(x) == 0:
+        raise ValueError("cannot train IVF centroids on an empty item table")
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.maximum(norms, 1e-12)
+    k = min(int(n_lists), len(x))
+    c = x[:k].copy()
+    for _ in range(int(kmeans_iters)):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                nrm = np.linalg.norm(m)
+                if nrm > 1e-12:
+                    c[j] = m / nrm
+    return [[float(v) for v in row] for row in c]
+
+
+def _ivf_assign_expr(vec_col, centroids: list[list[float]], top: int):
+    """Top-`top` centroid indices for a vector, as a JVM-side expression:
+    array of (dot, idx) structs → sort desc → slice → extract idx. No
+    Python in the per-row path; n_lists stays bounded (≤ a few hundred),
+    so the expression width is fine."""
+    scored = F.array(*[
+        F.struct(
+            (-dot_col(vec_col, F.array(*[F.lit(float(v)) for v in c]))).alias("negdot"),
+            F.lit(j).alias("idx"),
+        )
+        for j, c in enumerate(centroids)
+    ])
+    return F.transform(F.slice(F.array_sort(scored), 1, top), lambda s: s["idx"])
+
+
+def cosine_topk_ivf(
+    spark: SparkSession,
+    queries: DataFrame,
+    items: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_lists: int = 64,
+    n_probe: int = 8,
+    kmeans_iters: int = 5,
+    sample: int = 4096,
+    q_id: str = "id",
+    q_vec: str = "vec",
+    i_id: str = "id",
+    i_vec: str = "vec",
+    min_sim: float | None = None,
+    exclude_self: bool = True,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """APPROXIMATE top-k cosine via IVF-Flat: a coarse k-means quantizer
+    partitions items into n_lists inverted lists; each query probes its
+    n_probe nearest lists and is re-ranked EXACTLY (JVM dot) against only
+    those lists' members.
+
+    The complementary scale path to cosine_topk_lsh: LSH cells are
+    data-oblivious (hot near-duplicate clusters need max_bucket), while
+    IVF lists follow the data's cluster structure, so clustered
+    embeddings — the common case for model-training corpora — get
+    balanced candidate sets by construction. Candidate cost ≈
+    |Q|·n_probe/n_lists·|I| for balanced lists. Everything after the
+    bounded driver-side training sample (train_ivf_centroids) is
+    distributed: assignment is a JVM expression over a broadcast-literal
+    centroid table, the probe join keys on list id, and the widest
+    shuffles carry only (list, id) pairs plus the final re-rank rows.
+    Deterministic end to end; pass `centroids` to reuse a trained index.
+    """
+    q = queries.select(
+        F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv")
+    ).localCheckpoint(eager=True)
+    i = items.select(
+        F.col(i_id).alias("item_id"), F.col(i_vec).alias("_iv")
+    ).localCheckpoint(eager=True)
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            i, dim, n_lists=n_lists, kmeans_iters=kmeans_iters, sample=sample,
+            i_vec="_iv", i_id="item_id",
+        )
+    n_probe = min(int(n_probe), len(centroids))
+    ib = i.select(
+        "item_id",
+        _ivf_assign_expr(F.col("_iv"), centroids, 1)[0].alias("list_id"),
+    )
+    qb = q.select(
+        "query_id",
+        F.explode(_ivf_assign_expr(F.col("_qv"), centroids, n_probe)).alias("list_id"),
+    )
+    cand = qb.join(ib, "list_id").drop("list_id")
+    if exclude_self:
+        cand = cand.where(F.col("query_id") != F.col("item_id"))
+    scored = (
+        cand.join(q, "query_id")
+        .join(i, "item_id")
+        .select("query_id", "item_id", dot_col(F.col("_qv"), F.col("_iv")).alias("sim"))
+    )
+    if min_sim is not None:
+        scored = scored.where(F.col("sim") >= min_sim)
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("item_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -218,3 +218,57 @@ def test_lsh_hot_bucket_cap_clustered(spark):
         }
         recall = len(want & got) / len(want)
         assert recall >= floor, (mb, recall)
+
+
+def test_ivf_topk_clustered_recall(spark):
+    """IVF-Flat ANN (the data-adaptive counterpart of the LSH path): a
+    deterministic spherical-kmeans coarse quantizer partitions items into
+    lists; queries probe n_probe lists and re-rank exactly. On clustered
+    embeddings the candidate set must stay well under |Q|x|I| while
+    recall@10 vs the blocked exact result clears a pinned floor, and the
+    trained index must be a pure function of the data (identical across
+    two training runs)."""
+    from louvain_spark.operators.similarity import (
+        cosine_topk_ivf,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(4, 16)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vs = []
+    for j in range(800):
+        v = centers[j % 4] + 0.02 * rng.randn(16)
+        vs.append(v / np.linalg.norm(v))
+    for j in range(100):
+        v = rng.randn(16)
+        vs.append(v / np.linalg.norm(v))
+    n = len(vs)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vs[i]]) for i in range(n)],
+        "id long, vec array<double>",
+    ).localCheckpoint(eager=True)
+
+    exact = cosine_topk_blocked(spark, df, df, k=10).collect()
+    want = {(r["query_id"], r["item_id"]) for r in exact}
+
+    ivf = cosine_topk_ivf(
+        spark, df, df, k=10, dim=16, n_lists=16, n_probe=4
+    ).collect()
+    got = {(r["query_id"], r["item_id"]) for r in ivf}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.9, recall
+    # every returned sim is the exact dot product (re-rank is exact)
+    for r in ivf[:50]:
+        assert abs(r["sim"] - float(np.dot(vs[r["query_id"]], vs[r["item_id"]]))) < 1e-9
+
+    # the trained index must be reproducible (pure function of the data)
+    c1 = train_ivf_centroids(
+        df.select(F.col("id").alias("item_id"), F.col("vec").alias("_iv")),
+        16, n_lists=16, i_vec="_iv", i_id="item_id",
+    )
+    c2 = train_ivf_centroids(
+        df.select(F.col("id").alias("item_id"), F.col("vec").alias("_iv")),
+        16, n_lists=16, i_vec="_iv", i_id="item_id",
+    )
+    assert c1 == c2, "IVF training must be deterministic"
