@@ -951,11 +951,25 @@ def oracle_sql() -> dict[str, str]:
         # louvain_events: DuckDB cannot replay sequential Louvain, but it
         # can select the committed golden partition, generated from the
         # independent vendored oracle (python-louvain 0.16 semantics) by
-        # tools/gen_louvain_golden.py at the driver's sf0.01 — engine exact
-        # mode must reproduce it bit-for-bit after min-id canonicalization.
-        # tests/test_louvain_golden.py guards against a stale golden.
-        "louvain_events": (
-            Path(__file__).resolve().parent
-            / "tests" / "golden" / "louvain_events_sf0_01.sql"
-        ).read_text(),
+        # tools/gen_louvain_golden.py at the driver's sf0.01 (the golden is
+        # pinned to THAT sf_dir — the driver contract runs correctness at
+        # sf=0.01; regenerate via the tool for any other scale). Engine
+        # exact mode must reproduce it bit-for-bit after min-id
+        # canonicalization; tests/test_louvain_golden.py guards staleness.
+        **_louvain_golden_entry(),
     }
+
+
+def _louvain_golden_entry() -> dict[str, str]:
+    """{'louvain_events': <golden SQL>} — or empty if the committed golden
+    is not present (e.g. a packaging that ships this file without tests/):
+    the row then degrades to rows-only instead of a missing-file error
+    killing every other oracle entry."""
+    p = (
+        Path(__file__).resolve().parent
+        / "tests" / "golden" / "louvain_events_sf0_01.sql"
+    )
+    try:
+        return {"louvain_events": p.read_text()}
+    except OSError:
+        return {}

@@ -61,11 +61,15 @@ def host_sentinel_par_ms(workers: int = 16) -> float:
     sentinel unchanged); when this parallel sentinel disagrees with the
     serial one by much more than the host's known oversubscription
     (~1.5x at 16 workers), wide-parallel stage times are not comparable
-    across runs. Nominal ~400-600ms quiet."""
+    across runs. Nominal ~450-700ms quiet (includes ~150ms spawn
+    overhead)."""
     import multiprocessing as mp
 
+    # spawn, not fork: the sentinel also runs while the py4j/JVM gateway
+    # threads are live, and forking a multi-threaded process can deadlock
+    # a worker on an inherited lock (e.g. the logging module lock)
     t0 = time.monotonic()
-    with mp.Pool(workers) as p:
+    with mp.get_context("spawn").Pool(workers) as p:
         p.map(_sentinel_work, range(workers))
     return round((time.monotonic() - t0) * 1000.0, 1)
 
@@ -369,6 +373,18 @@ def scaling(sf_dir: str) -> None:
         ]
         if max(sents) > 1.25 * min(sents):
             return f"host sentinel drift {sents[0]:.0f}ms vs {sents[1]:.0f}ms"
+        # the serial sentinel misses multi-core co-tenant contention (it
+        # can inflate the N baseline and FLATTER efficiency); compare the
+        # 16-worker sentinel too, with a wider band — it is noisier
+        pars = [
+            min(
+                r["extra"]["host_sentinel_par16_pre_ms"],
+                r["extra"]["host_sentinel_par16_post_ms"],
+            )
+            for r in (rs, rb)
+        ]
+        if max(pars) > 1.4 * min(pars):
+            return f"par16 sentinel drift {pars[0]:.0f}ms vs {pars[1]:.0f}ms"
         return None
 
     anomaly = pair_anomaly(attempts[0])
@@ -420,18 +436,22 @@ def scaling(sf_dir: str) -> None:
             f"\npreset={preset}; attempts per level: {len(attempts)}"
             f"{f' (host-noise anomaly [{anomaly}] → re-measured, per-stage min)' if len(attempts) > 1 else ''}\n"
         )
-        sent = [
-            (
-                r["extra"]["host_sentinel_pre_ms"],
-                r["extra"]["host_sentinel_post_ms"],
+        for ai, att in enumerate(attempts):
+            sent = [
+                (
+                    r["extra"]["host_sentinel_pre_ms"],
+                    r["extra"]["host_sentinel_post_ms"],
+                    r["extra"]["host_sentinel_par16_pre_ms"],
+                    r["extra"]["host_sentinel_par16_post_ms"],
+                )
+                for r in att
+            ]
+            f.write(
+                f"host sentinel attempt {ai} (serial/par16 pure-CPU ms, "
+                f"pre+post; equal sentinels ⇒ comparable legs): "
+                f"@{n}: {sent[0][0]}/{sent[0][1]} par {sent[0][2]}/{sent[0][3]}, "
+                f"@{n4}: {sent[1][0]}/{sent[1][1]} par {sent[1][2]}/{sent[1][3]}\n"
             )
-            for r in attempts[0]
-        ]
-        f.write(
-            f"host sentinel (pure-CPU ms, pre/post; equal sentinels ⇒ "
-            f"comparable legs): @{n}: {sent[0][0]}/{sent[0][1]}, "
-            f"@{n4}: {sent[1][0]}/{sent[1][1]}\n"
-        )
         f.write(
             f"\n### Why N={n} (not 8↔32)\n\n"
             "This sandbox is a shared VM: a pure-CPU microbenchmark "

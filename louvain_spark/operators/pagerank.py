@@ -51,8 +51,12 @@ def pagerank(
     mass is a 1-row in-plan aggregate (broadcast crossJoin) instead of an
     observed scalar, intermediate ranks are persisted so the single job
     computes each step once, and convergence (L∞ < tol) is checked at
-    batch boundaries — never earlier than the per-step check, and a
-    converged trajectory is fixpoint-invariant under the extra steps.
+    batch boundaries. At tol=0 trajectories are identical for every batch
+    size (pinned by tests). At tol>0 a batched run may take up to
+    steps_per_action−1 extra power-iteration steps past the first
+    sub-tol delta — each extra step moves scores CLOSER to the fixed
+    point (per-vertex drift ≤ ~damping·tol), so accuracy only improves;
+    set steps_per_action=1 to reproduce per-step early stopping exactly.
     """
     if runner is None:
         runner = SuperstepRunner(spark, "adhoc", "pagerank")

@@ -223,11 +223,13 @@ def _lsh_candidates(
 ) -> DataFrame:
     """(query_id, item_id) candidate pairs sharing a bucket in any table.
 
-    max_bucket caps EACH side of every bucket cell to that many members
-    (deterministic pseudo-random pick: xxhash64(id) order), bounding a hot
-    cell at max_bucket² pairs — the lever for clustered/near-duplicate
-    data, where a tight cluster lands whole in one bucket per table and an
-    uncapped cell is |cluster|². Capping trades recall ONLY among rows
+    max_bucket caps the ITEM side of every bucket cell to that many
+    members (deterministic pseudo-random pick, different subset per
+    table), bounding a hot cell at |q_cell|·max_bucket pairs — linear,
+    not quadratic, in cluster size for clustered/near-duplicate data. The
+    query side is deliberately NOT capped: every query keeps candidates
+    in every table (see the inline comment for the measured recall cost
+    of two-sided capping). Capping trades recall only among items
     sharing a capped bucket; other tables can still recover the pair."""
     qb = q.select(
         "query_id",
@@ -349,6 +351,11 @@ def train_ivf_centroids(
     x = np.array([list(r["_v"]) for r in rows], dtype=np.float64)
     if len(x) == 0:
         raise ValueError("cannot train IVF centroids on an empty item table")
+    if x.shape[1] != dim:
+        raise ValueError(
+            f"IVF dim mismatch: declared dim={dim} but vectors are "
+            f"{x.shape[1]}-dimensional"
+        )
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     x = x / np.maximum(norms, 1e-12)
     k = min(int(n_lists), len(x))

@@ -34,10 +34,10 @@ class StepResult:
     moved_key: str | None = None
     metric_key: str | None = None
     # logical supersteps this advance represents: operators that chain
-    # multiple supersteps into one action (CC round pairs, PageRank
-    # steps_per_action) pass >1 so the ledger/checkpoint counter stays in
-    # LOGICAL superstep units — resume and max_iter accounting agree with
-    # the unbatched trajectory
+    # multiple supersteps into one action (PageRank/LPA steps_per_action;
+    # CC stays at 1 by design, see cc.py) pass >1 so the ledger/checkpoint
+    # counter stays in LOGICAL superstep units — resume and max_iter
+    # accounting agree with the unbatched trajectory
     steps: int = 1
 
 

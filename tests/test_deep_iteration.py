@@ -117,3 +117,32 @@ def test_lpa_batch_sizes_same_partition(spark):
             ref = got
         else:
             assert got == ref, spa
+
+
+def test_pagerank_batched_early_stop_within_tol(spark):
+    """tol>0 contract under batching: a batched run may take up to
+    steps_per_action-1 extra steps past the first sub-tol delta; each
+    extra step contracts toward the fixed point, so batched and unbatched
+    early-stopped scores differ by at most ~tol per vertex."""
+    from louvain_spark.operators.pagerank import pagerank
+    from tests import graphs
+    from tests.conftest import edges_df
+
+    edges, n = graphs.g_random(40, 0.12, seed=3, weighted=True)
+    e = edges_df(spark, edges)
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    tol = 1e-3
+    r1 = {
+        r["id"]: r["score"]
+        for r in pagerank(
+            spark, e, vertices=verts, tol=tol, max_iter=100, steps_per_action=1
+        ).collect()
+    }
+    r2 = {
+        r["id"]: r["score"]
+        for r in pagerank(
+            spark, e, vertices=verts, tol=tol, max_iter=100, steps_per_action=2
+        ).collect()
+    }
+    assert set(r1) == set(r2)
+    assert max(abs(r1[i] - r2[i]) for i in r1) <= tol
