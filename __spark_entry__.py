@@ -129,7 +129,10 @@ def q_pagerank(spark, sf_dir):
     # 30-step power iteration over the identical frac table) replays the
     # trajectory; round(6) absorbs summation-order float noise
     verts, edges = _graph(spark, sf_dir)
-    pr = pagerank(spark, edges, vertices=verts.select("id"), max_iter=30, tol=0.0)
+    pr = pagerank(
+        spark, edges, vertices=verts.select("id"), max_iter=30, tol=0.0,
+        steps_per_action=2,  # tol=0 ⇒ trajectory identical to unbatched
+    )
     return pr.select("id", F.round("score", 6).alias("score"))
 
 
@@ -156,7 +159,8 @@ def q_lpa(spark, sf_dir):
     # steps, and all weights are integer-valued counts (no float-tie risk)
     verts, edges = _graph(spark, sf_dir)
     return label_propagation(
-        spark, edges, vertices=verts.select("id"), max_iter=20
+        spark, edges, vertices=verts.select("id"), max_iter=20,
+        steps_per_action=2,  # fixpoint-invariant ⇒ same labels as unbatched
     ).select("id", "community")
 
 
@@ -971,5 +975,15 @@ def _louvain_golden_entry() -> dict[str, str]:
     )
     try:
         return {"louvain_events": p.read_text()}
-    except OSError:
+    except FileNotFoundError:
+        # only the missing-file case degrades silently to rows-only;
+        # permission/IO errors still surface. The warning keeps a path
+        # typo / packaging regression from invisibly removing the gate.
+        import sys
+
+        print(
+            f"WARNING: louvain golden SQL missing at {p}; "
+            "louvain_events degrades to a rows-only check",
+            file=sys.stderr,
+        )
         return {}

@@ -179,6 +179,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     with timed("pagerank_10it"):
         pr = pagerank(
             spark, edges, vertices=ids, max_iter=10, tol=0.0,
+            steps_per_action=2,
             runner=SuperstepRunner(
                 spark, "bench-pr", "pagerank",
                 checkpoint_dir=f"{work}/ckpt-pr", checkpoint_every=4,

@@ -27,7 +27,7 @@ def label_propagation(
     runner: SuperstepRunner | None = None,
     broadcast_nodes: int = 4_000_000,
     start_state: DataFrame | None = None,
-    steps_per_action: int = 2,
+    steps_per_action: int = 1,
 ) -> DataFrame:
     """assignments(id, community) — community = converged label (init: own id).
 
@@ -44,7 +44,9 @@ def label_propagation(
     the single batch job computes each step once). Fixpoint (moved == 0,
     observed on the LAST step of the batch) is checked at batch
     boundaries; a converged state is invariant under the extra step, so
-    the final labels are identical to the unbatched trajectory.
+    the final labels are identical to the unbatched trajectory. Default
+    is 1 (per-step behavior); bench/driver call sites opt into 2 where
+    the per-action serial floor dominates.
     """
     if runner is None:
         runner = SuperstepRunner(spark, "adhoc", "lpa")

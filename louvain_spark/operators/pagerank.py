@@ -33,7 +33,7 @@ def pagerank(
     runner: SuperstepRunner | None = None,
     broadcast_nodes: int = 4_000_000,
     start_state: DataFrame | None = None,
-    steps_per_action: int = 2,
+    steps_per_action: int = 1,
 ) -> DataFrame:
     """scores(id, score) summing to 1.0 at convergence.
 
@@ -55,8 +55,9 @@ def pagerank(
     size (pinned by tests). At tol>0 a batched run may take up to
     steps_per_action−1 extra power-iteration steps past the first
     sub-tol delta — each extra step moves scores CLOSER to the fixed
-    point (per-vertex drift ≤ ~damping·tol), so accuracy only improves;
-    set steps_per_action=1 to reproduce per-step early stopping exactly.
+    point (per-vertex drift ≤ ~damping·tol), so accuracy only improves.
+    Default is 1 (per-step early stopping, the historical behavior);
+    bench/driver call sites opt into 2 where the serial floor dominates.
     """
     if runner is None:
         runner = SuperstepRunner(spark, "adhoc", "pagerank")

@@ -252,11 +252,29 @@ def _lsh_candidates(
         # Ordering by hash(id, bucket): the bucket string embeds the table
         # index, so each table keeps a DIFFERENT subset of a hot cluster
         # and the union across tables recovers most true neighbors.
-        w = Window.partitionBy("bucket").orderBy(
-            F.xxhash64("item_id", F.col("bucket")).asc(), F.col("item_id").asc()
+        #
+        # Two-level EXACT selection, so no window task ever holds a whole
+        # hot bucket (a direct partitionBy("bucket") window would funnel
+        # the very cell the cap exists to bound through one task): level 1
+        # caps each of 64 hash-salted subgroups at max_bucket rows
+        # (per-task input ≈ |bucket|/64); the global smallest-max_bucket
+        # of a bucket under a total order are necessarily within their
+        # subgroup's smallest-max_bucket, so level 2's window sees at most
+        # 64·max_bucket rows per bucket and returns the IDENTICAL subset
+        # a direct per-bucket window would.
+        hk = F.xxhash64("item_id", F.col("bucket"))
+        ib = ib.withColumn("_salt", F.pmod(hk, F.lit(64)).cast("int"))
+        w1 = Window.partitionBy("bucket", "_salt").orderBy(
+            hk.asc(), F.col("item_id").asc()
         )
         ib = (
-            ib.withColumn("_r", F.row_number().over(w))
+            ib.withColumn("_r", F.row_number().over(w1))
+            .where(F.col("_r") <= max_bucket)
+            .drop("_r", "_salt")
+        )
+        w2 = Window.partitionBy("bucket").orderBy(hk.asc(), F.col("item_id").asc())
+        ib = (
+            ib.withColumn("_r", F.row_number().over(w2))
             .where(F.col("_r") <= max_bucket)
             .drop("_r")
         )

@@ -181,7 +181,8 @@ class SuperstepRunner:
 
     def advance(self, result: StepResult) -> DataFrame:
         """Record one completed superstep; return the lineage-cut state."""
-        self.superstep += max(1, int(result.steps))
+        steps = max(1, int(result.steps))
+        self.superstep += steps
         t0 = time.monotonic()
         state = result.state
         ckpt_path = None
@@ -197,7 +198,7 @@ class SuperstepRunner:
             state = self.spark.read.parquet(ckpt_path)
             self._ckpt_bucket = self.superstep // self.checkpoint_every
             self._local_since_reset = 0  # parquet roundtrip resets stats too
-        elif self._local_since_reset + 1 >= self.stats_reset_every:
+        elif self._local_since_reset + steps >= self.stats_reset_every:
             # alternate between two paths so a reset never overwrites the
             # files backing the frame it is reading from (stats_reset_every=1)
             path = os.path.join(self._stats_reset_dir(), f"reset={self._resets % 2}")
@@ -207,7 +208,10 @@ class SuperstepRunner:
             self._local_since_reset = 0
         else:
             state = state.localCheckpoint(eager=True)
-            self._local_since_reset += 1
+            # count in LOGICAL supersteps: a batched advance preserves a
+            # plan with ~steps× the joins, so the stats-explosion clock
+            # (see class docstring) ticks steps× faster per advance
+            self._local_since_reset += steps
         wall_ms = int((time.monotonic() - t0) * 1000)
         moved, metric = result.moved, result.metric
         if result.observation is not None:
@@ -230,7 +234,10 @@ class SuperstepRunner:
         """Reload the latest checkpointed superstep for (run_id, operator).
 
         Returns (runner positioned after that superstep, state or None, last
-        superstep index or -1).
+        superstep index or -1). The restored runner's checkpoint bucket is
+        aligned to its (default) checkpoint_every; a caller that changes
+        checkpoint_every afterwards must recompute
+        `runner._ckpt_bucket = runner.superstep // runner.checkpoint_every`.
         """
         runner = cls(spark, run_id, operator, checkpoint_dir)
         ledger_path = runner.ledger_path
@@ -254,5 +261,9 @@ class SuperstepRunner:
             return runner, None, -1
         last = rows[0]
         runner.superstep = int(last["superstep"])
+        # the restored superstep IS checkpointed — align the bucket so the
+        # first advance after resume only writes when it crosses a new
+        # checkpoint_every boundary (not unconditionally)
+        runner._ckpt_bucket = runner.superstep // runner.checkpoint_every
         state = spark.read.parquet(last["checkpoint_path"])
         return runner, state, runner.superstep
