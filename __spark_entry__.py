@@ -43,6 +43,7 @@ from louvain_spark.operators.pagerank import pagerank
 from louvain_spark.operators.quality import modularity
 from louvain_spark.operators.similarity import (
     cosine_topk_brute,
+    cosine_topk_ivf,
     cosine_topk_lsh,
     rademacher_planes,
 )
@@ -427,6 +428,24 @@ def q_lsh_ann_topk(spark, sf_dir):
     )
 
 
+def q_ivf_ann_topk(spark, sf_dir):
+    """Data-adaptive approximate ANN scale path: IVF-Flat — deterministic
+    spherical-kmeans coarse quantizer (bounded hash-ordered sample, zero
+    RNG), n_probe list probing, exact re-rank. The oracle SELECTs the
+    committed golden (tests/golden/, generated by tools/gen_ivf_golden.py
+    from an INDEPENDENT pyarrow+numpy reimplementation — engine drift and
+    stale goldens are both caught, tests/test_ivf_golden.py). Parameters
+    pinned to the generator's header."""
+    unit = _unit_embeddings(spark, sf_dir)
+    top = cosine_topk_ivf(
+        spark, unit.where(F.col("id") < 20), unit,
+        k=5, dim=64, n_lists=16, n_probe=4, kmeans_iters=5, sample=4096,
+    )
+    return top.select(
+        "query_id", "item_id", "rank", F.round("sim", 4).alias("sim_r4")
+    )
+
+
 def q_near_dup_embeddings(spark, sf_dir):
     """Embedding-cosine near-dup pairs (dedup family). Threshold 0.42 fits
     the synthetic embeddings' sim distribution (max pairwise sim ≈ 0.51 —
@@ -485,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_embeddings": q_ann_topk,
         "ann_topk_blocked_embeddings": q_ann_topk_blocked,
         "lsh_ann_topk_embeddings": q_lsh_ann_topk,
+        "ivf_ann_topk_embeddings": q_ivf_ann_topk,
         "near_dup_embeddings": q_near_dup_embeddings,
         "prev_event_per_user": q_prev_event,
         "simhash_docs": q_simhash_docs,
@@ -960,21 +980,23 @@ def oracle_sql() -> dict[str, str]:
         # sf=0.01; regenerate via the tool for any other scale). Engine
         # exact mode must reproduce it bit-for-bit after min-id
         # canonicalization; tests/test_louvain_golden.py guards staleness.
-        **_louvain_golden_entry(),
+        **_golden_sql_entry("louvain_events", "louvain_events_sf0_01.sql"),
+        # ivf_ann_topk: same committed-golden pattern, but the golden comes
+        # from an INDEPENDENT pyarrow+numpy reimplementation of the
+        # deterministic IVF path (tools/gen_ivf_golden.py) — the engine
+        # never feeds its own oracle
+        **_golden_sql_entry("ivf_ann_topk_embeddings", "ivf_ann_topk_sf0_01.sql"),
     }
 
 
-def _louvain_golden_entry() -> dict[str, str]:
-    """{'louvain_events': <golden SQL>} — or empty if the committed golden
-    is not present (e.g. a packaging that ships this file without tests/):
-    the row then degrades to rows-only instead of a missing-file error
+def _golden_sql_entry(key: str, filename: str) -> dict[str, str]:
+    """{key: <committed golden SQL>} — or empty if the golden file is not
+    present (e.g. a packaging that ships this file without tests/): the
+    row then degrades to rows-only instead of a missing-file error
     killing every other oracle entry."""
-    p = (
-        Path(__file__).resolve().parent
-        / "tests" / "golden" / "louvain_events_sf0_01.sql"
-    )
+    p = Path(__file__).resolve().parent / "tests" / "golden" / filename
     try:
-        return {"louvain_events": p.read_text()}
+        return {key: p.read_text()}
     except FileNotFoundError:
         # only the missing-file case degrades silently to rows-only;
         # permission/IO errors still surface. The warning keeps a path
@@ -982,8 +1004,8 @@ def _louvain_golden_entry() -> dict[str, str]:
         import sys
 
         print(
-            f"WARNING: louvain golden SQL missing at {p}; "
-            "louvain_events degrades to a rows-only check",
+            f"WARNING: golden SQL missing at {p}; "
+            f"{key} degrades to a rows-only check",
             file=sys.stderr,
         )
         return {}

@@ -278,6 +278,42 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             max_bucket=128,
         ).count()
 
+    # --- IVF-Flat ANN over the same clustered vectors: the data-adaptive
+    # complement to LSH (lists follow the cluster structure, so clustered
+    # corpora get balanced candidate sets without a hot-cell cap). The
+    # timed stage includes the bounded driver-side k-means training; the
+    # candidate count is measured outside it, mirroring the LSH stage.
+    from louvain_spark.operators.similarity import (
+        _ivf_assign_udf,
+        cosine_topk_ivf,
+        train_ivf_centroids,
+    )
+
+    ivf_lists, ivf_probe = 64, 8
+    cents = train_ivf_centroids(
+        cvecs, dim_v, n_lists=ivf_lists, i_vec="vec", i_id="id"
+    )
+    ivf_ib = cvecs.select(
+        F.col("id").alias("item_id"),
+        F.element_at(_ivf_assign_udf(cents, 1)(F.col("vec")), 1).alias("list_id"),
+    )
+    ivf_qb = cvecs.select(
+        F.col("id").alias("query_id"),
+        F.explode(_ivf_assign_udf(cents, ivf_probe)(F.col("vec"))).alias("list_id"),
+    )
+    extra["ivf_candidates"] = (
+        ivf_qb.join(ivf_ib, "list_id")
+        .where(F.col("query_id") != F.col("item_id"))
+        .dropDuplicates(["query_id", "item_id"])
+        .count()
+    )
+    extra["ivf_candidate_frac"] = round(extra["ivf_candidates"] / (n_vec * n_vec), 5)
+    with timed("ivf_ann_topk"):
+        cosine_topk_ivf(
+            spark, cvecs, cvecs, k=10, dim=dim_v,
+            n_lists=ivf_lists, n_probe=ivf_probe,
+        ).count()
+
     extra["host_sentinel_post_ms"] = host_sentinel_ms()
     extra["host_sentinel_par16_post_ms"] = host_sentinel_par_ms()
     total = round(sum(timings.values()), 3)

@@ -73,6 +73,49 @@ def cosine_topk_brute(
     )
 
 
+def _make_topk_cell(kk: int, thr: float | None, excl: bool):
+    """Shared cogroup cell kernel for the blocked and IVF paths: one numpy
+    matmul per (query-block × item-chunk) cell, emitting the cell-local
+    per-query top-kk as (query_id, item_id, sim) — a later window merges
+    cell-local top-k's into the global top-k. Frames may carry extra key
+    columns (block/list/chunk ids); only query_id/_qv and item_id/_iv are
+    read."""
+
+    def cell(qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
+        if len(qpdf) == 0 or len(ipdf) == 0:
+            return pd.DataFrame({"query_id": [], "item_id": [], "sim": []}).astype(
+                {"query_id": "int64", "item_id": "int64", "sim": "float64"}
+            )
+        qv = np.array(list(qpdf["_qv"]), dtype=np.float64)
+        mat = np.array(list(ipdf["_iv"]), dtype=np.float64)
+        b_ids = ipdf["item_id"].to_numpy()
+        qids = qpdf["query_id"].to_numpy()
+        sims = qv @ mat.T  # (block, chunk)
+        if excl:
+            sims = np.where(qids[:, None] == b_ids[None, :], -np.inf, sims)
+        n_take = min(kk, sims.shape[1])
+        # argpartition then exact sort of the head; tie-break item id asc
+        part = np.argpartition(-sims, n_take - 1, axis=1)[:, :n_take]
+        out_q, out_i, out_s = [], [], []
+        for row in range(sims.shape[0]):
+            cand = part[row]
+            order = np.lexsort((b_ids[cand], -sims[row, cand]))
+            sel = cand[order]
+            s = sims[row, sel]
+            keep = s > -np.inf
+            if thr is not None:
+                keep &= s >= thr
+            sel, s = sel[keep], s[keep]
+            out_q.extend([qids[row]] * len(sel))
+            out_i.extend(b_ids[sel])
+            out_s.extend(s)
+        return pd.DataFrame({"query_id": out_q, "item_id": out_i, "sim": out_s}).astype(
+            {"query_id": "int64", "item_id": "int64", "sim": "float64"}
+        )
+
+    return cell
+
+
 def cosine_topk_blocked(
     spark: SparkSession,
     queries: DataFrame,
@@ -121,39 +164,7 @@ def cosine_topk_blocked(
     i2 = i.withColumn(
         "_ib", F.pmod(F.xxhash64("item_id"), F.lit(ib)).cast("int")
     ).withColumn("_qb", F.explode(F.array(*[F.lit(x) for x in range(qb)])))
-    kk, thr, excl = int(k), min_sim, bool(exclude_self)
-
-    def cell(qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
-        if len(qpdf) == 0 or len(ipdf) == 0:
-            return pd.DataFrame({"query_id": [], "item_id": [], "sim": []}).astype(
-                {"query_id": "int64", "item_id": "int64", "sim": "float64"}
-            )
-        qv = np.array(list(qpdf["_qv"]), dtype=np.float64)
-        mat = np.array(list(ipdf["_iv"]), dtype=np.float64)
-        b_ids = ipdf["item_id"].to_numpy()
-        qids = qpdf["query_id"].to_numpy()
-        sims = qv @ mat.T  # (block, chunk)
-        if excl:
-            sims = np.where(qids[:, None] == b_ids[None, :], -np.inf, sims)
-        n_take = min(kk, sims.shape[1])
-        # argpartition then exact sort of the head; tie-break item id asc
-        part = np.argpartition(-sims, n_take - 1, axis=1)[:, :n_take]
-        out_q, out_i, out_s = [], [], []
-        for row in range(sims.shape[0]):
-            cand = part[row]
-            order = np.lexsort((b_ids[cand], -sims[row, cand]))
-            sel = cand[order]
-            s = sims[row, sel]
-            keep = s > -np.inf
-            if thr is not None:
-                keep &= s >= thr
-            sel, s = sel[keep], s[keep]
-            out_q.extend([qids[row]] * len(sel))
-            out_i.extend(b_ids[sel])
-            out_s.extend(s)
-        return pd.DataFrame({"query_id": out_q, "item_id": out_i, "sim": out_s}).astype(
-            {"query_id": "int64", "item_id": "int64", "sim": "float64"}
-        )
+    cell = _make_topk_cell(int(k), min_sim, bool(exclude_self))
 
     cand = (
         q2.groupby("_qb", "_ib")
@@ -161,7 +172,7 @@ def cosine_topk_blocked(
         .applyInPandas(cell, out_schema)
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("item_id").asc())
-    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= kk)
+    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= int(k))
 
 
 # ---------------------------------------------------------------------------
@@ -392,9 +403,11 @@ def train_ivf_centroids(
 
 def _ivf_assign_expr(vec_col, centroids: list[list[float]], top: int):
     """Top-`top` centroid indices for a vector, as a JVM-side expression:
-    array of (dot, idx) structs → sort desc → slice → extract idx. No
-    Python in the per-row path; n_lists stays bounded (≤ a few hundred),
-    so the expression width is fine."""
+    array of (dot, idx) structs → sort desc → slice → extract idx.
+    Width is O(n_lists·dim) literal terms PER ROW — fine for a handful of
+    lists, a codegen blow-up beyond (measured 2x+ the whole-query cost at
+    n_lists=64); cosine_topk_ivf uses the Arrow kernel below instead and
+    this stays as the all-JVM small-index variant."""
     scored = F.array(*[
         F.struct(
             (-dot_col(vec_col, F.array(*[F.lit(float(v)) for v in c]))).alias("negdot"),
@@ -403,6 +416,35 @@ def _ivf_assign_expr(vec_col, centroids: list[list[float]], top: int):
         for j, c in enumerate(centroids)
     ])
     return F.transform(F.slice(F.array_sort(scored), 1, top), lambda s: s["idx"])
+
+
+def _ivf_assign_udf(centroids: list[list[float]], top: int):
+    """Top-`top` centroid indices as a VECTORIZED Arrow kernel: one numpy
+    matmul per batch against the closure-captured centroid matrix
+    (O(n_lists·dim) floats, shipped once per executor). Ties break to the
+    smaller index (stable argsort on -dots), the same order as
+    _ivf_assign_expr's (negdot, idx) struct sort and as the independent
+    golden generator (tools/gen_ivf_golden.py) — all three pick identical
+    lists whenever the margin exceeds ulp noise, which the generator
+    asserts."""
+    from pyspark.sql.functions import pandas_udf
+
+    c_t = np.asarray(centroids, dtype=np.float64).T  # (dim, n_lists)
+    k = min(int(top), c_t.shape[1])
+
+    @pandas_udf("array<int>")
+    def assign(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        x = np.array(list(vec), dtype=np.float64)
+        dots = x @ c_t
+        if k == 1:
+            idx = np.argmax(dots, axis=1)[:, None]
+        else:
+            idx = np.argsort(-dots, axis=1, kind="stable")[:, :k]
+        return pd.Series(list(idx.astype(np.int32)))
+
+    return assign
 
 
 def cosine_topk_ivf(
@@ -422,6 +464,7 @@ def cosine_topk_ivf(
     min_sim: float | None = None,
     exclude_self: bool = True,
     centroids: list[list[float]] | None = None,
+    item_block_rows: int = 65536,
 ) -> DataFrame:
     """APPROXIMATE top-k cosine via IVF-Flat: a coarse k-means quantizer
     partitions items into n_lists inverted lists; each query probes its
@@ -435,9 +478,13 @@ def cosine_topk_ivf(
     balanced candidate sets by construction. Candidate cost ≈
     |Q|·n_probe/n_lists·|I| for balanced lists. Everything after the
     bounded driver-side training sample (train_ivf_centroids) is
-    distributed: assignment is a JVM expression over a broadcast-literal
-    centroid table, the probe join keys on list id, and the widest
-    shuffles carry only (list, id) pairs plus the final re-rank rows.
+    distributed: assignment is a vectorized Arrow kernel (one numpy
+    matmul per batch against the closure-shipped centroid matrix — the
+    equivalent JVM expression is O(n_lists·dim) literals per row and
+    measured 2x+ slower at n_lists=64), and re-ranking cogroups each
+    probed list with its probing queries into numpy matmul cells (see
+    the inline comment for the exchange-width argument; item_block_rows
+    bounds a hot list's per-cell item count via hash chunking).
     Deterministic end to end; pass `centroids` to reuse a trained index.
     """
     q = queries.select(
@@ -452,23 +499,32 @@ def cosine_topk_ivf(
             i_vec="_iv", i_id="item_id",
         )
     n_probe = min(int(n_probe), len(centroids))
-    ib = i.select(
-        "item_id",
-        _ivf_assign_expr(F.col("_iv"), centroids, 1)[0].alias("list_id"),
+    # Re-rank with the SAME cogrouped numpy cell kernel as
+    # cosine_topk_blocked, keyed by (list, chunk): each probed list's
+    # members meet their probing queries in one Arrow cell and a matmul
+    # scores them. Compared to materializing (query_id, item_id)
+    # candidate pairs and re-joining both vector tables, the widest
+    # exchanges here carry |Q|·n_probe·n_chunks query rows + |I| item
+    # rows (never |candidates| vector-wide rows), and scoring is SIMD
+    # instead of per-pair scalar dots. Chunking bounds a hot list's cell
+    # at ~list_size/n_chunks items; per-cell top-k keeps the merge window
+    # input at |Q|·n_probe·n_chunks·k skinny rows. Disjoint lists mean no
+    # duplicate pairs, so no dedup shuffle is needed.
+    assign1 = _ivf_assign_udf(centroids, 1)
+    assign_p = _ivf_assign_udf(centroids, n_probe)
+    n_i = i.count()
+    n_chunks = max(1, math.ceil(n_i / (max(1, len(centroids)) * item_block_rows)))
+    ix = i.withColumn("list_id", F.element_at(assign1(F.col("_iv")), 1)).withColumn(
+        "_chunk", F.pmod(F.xxhash64("item_id"), F.lit(n_chunks)).cast("int")
     )
-    qb = q.select(
-        "query_id",
-        F.explode(_ivf_assign_expr(F.col("_qv"), centroids, n_probe)).alias("list_id"),
+    qx = q.withColumn("list_id", F.explode(assign_p(F.col("_qv")))).withColumn(
+        "_chunk", F.explode(F.array(*[F.lit(c) for c in range(n_chunks)]))
     )
-    cand = qb.join(ib, "list_id").drop("list_id")
-    if exclude_self:
-        cand = cand.where(F.col("query_id") != F.col("item_id"))
+    cell = _make_topk_cell(int(k), min_sim, bool(exclude_self))
     scored = (
-        cand.join(q, "query_id")
-        .join(i, "item_id")
-        .select("query_id", "item_id", dot_col(F.col("_qv"), F.col("_iv")).alias("sim"))
+        qx.groupby("list_id", "_chunk")
+        .cogroup(ix.groupby("list_id", "_chunk"))
+        .applyInPandas(cell, "query_id long, item_id long, sim double")
     )
-    if min_sim is not None:
-        scored = scored.where(F.col("sim") >= min_sim)
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("item_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
