@@ -153,6 +153,22 @@ def q_louvain(spark, sf_dir):
     )
 
 
+def q_louvain_auto(spark, sf_dir):
+    """The 100TB execution path under the driver gate: mode='auto'
+    (parallel block sweeps at level 0, exact coarse tail) at the pinned
+    LOUVAIN_AUTO_OPTS — deterministic across masters (tests/
+    test_louvain.py), so its sf0.01 partition is committed as a golden
+    (tools/gen_louvain_auto_golden.py, which independently validates the
+    partition's numpy-recomputed modularity against the vendored oracle
+    before writing). Labels canonicalized to min member id."""
+    verts, edges = _graph(spark, sf_dir)
+    assign, _ = _louvain_auto(spark, edges, verts)
+    canon = assign.groupBy("community").agg(F.min("id").alias("canon_com"))
+    return assign.join(canon, "community").select(
+        "id", F.col("canon_com").alias("community")
+    )
+
+
 def q_lpa(spark, sf_dir):
     # max_iter pinned to 20 (the default, stated explicitly): the DuckDB
     # oracle unrolls exactly 20 synchronous steps — equal to the engine's
@@ -480,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_hash4_events": q_modularity_hash4,
         "pagerank_events": q_pagerank,
         "louvain_events": q_louvain,
+        "louvain_auto_events": q_louvain_auto,
         "lpa_events": q_lpa,
         "cluster_summary_events": q_cluster_summary,
         "cluster_members_detail_events": q_cluster_members_detail,
@@ -981,6 +998,10 @@ def oracle_sql() -> dict[str, str]:
         # exact mode must reproduce it bit-for-bit after min-id
         # canonicalization; tests/test_louvain_golden.py guards staleness.
         **_golden_sql_entry("louvain_events", "louvain_events_sf0_01.sql"),
+        # auto mode (the 100TB path): engine-derived golden, validated at
+        # generation time by an independent numpy modularity cross-check
+        # against the vendored oracle (tools/gen_louvain_auto_golden.py)
+        **_golden_sql_entry("louvain_auto_events", "louvain_auto_events_sf0_01.sql"),
         # ivf_ann_topk: same committed-golden pattern, but the golden comes
         # from an INDEPENDENT pyarrow+numpy reimplementation of the
         # deterministic IVF path (tools/gen_ivf_golden.py) — the engine
