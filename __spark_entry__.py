@@ -41,6 +41,7 @@ from louvain_spark.operators.lpa import label_propagation
 from louvain_spark.operators.louvain import louvain
 from louvain_spark.operators.pagerank import pagerank
 from louvain_spark.operators.quality import modularity
+from louvain_spark.operators.semantic import blend_weights, semantic_pairs
 from louvain_spark.operators.similarity import (
     cosine_topk_brute,
     cosine_topk_ivf,
@@ -471,6 +472,44 @@ def q_near_dup_embeddings(spark, sf_dir):
     return pairs.select("src", "dst", F.round("sim", 4).alias("sim_r4"))
 
 
+def q_semantic_blend(spark, sf_dir):
+    """The reference's semantic edge-weight stage (2-4/6) end-to-end
+    under the driver gate: FNV featurize (U1/F7) → combined-vector kNN
+    candidates with 0.8·thr dynamic prefilter (P5/J2) → field-weighted
+    blend ≥ thr (P4/A8/F8) → left-join blend into the relation edges
+    with semantic default 0.0 and mean-of-type relation weights
+    (J3/A7/F10/P1). Oracle = committed golden from the INDEPENDENT
+    scalar-FNV + numpy reimplementation (tools/gen_semantic_golden.py);
+    parameters pinned to its header."""
+    verts, edges = _graph(spark, sf_dir)
+    vtype = F.split_part(F.col("name"), F.lit(":"), F.lit(1))
+    docs = verts.select(
+        "id",
+        F.col("name").alias("name_text"),
+        vtype.alias("why_text"),
+        F.reverse(F.col("name")).alias("how_text"),
+    )
+    sem = semantic_pairs(spark, docs, threshold=0.6, k=10, dim=64)
+    vn = verts.select("id", vtype.alias("_t"))
+    rel = (
+        edges
+        .join(vn.select(F.col("id").alias("src"), F.col("_t").alias("_ts")), "src")
+        .join(vn.select(F.col("id").alias("dst"), F.col("_t").alias("_td")), "dst")
+        .select("src", "dst", "weight", F.array("_ts", "_td").alias("etypes"))
+    )
+    out = blend_weights(
+        rel,
+        sem.select("src", "dst", "semantic_weight"),
+        weights={"type": 0.7, "user": 0.1},
+    )
+    return out.select(
+        "src", "dst", "weight",
+        F.round("semantic_weight", 6).alias("semantic_r6"),
+        F.round("relation_weight", 6).alias("relation_r6"),
+        F.round("final_weight", 6).alias("final_r6"),
+    )
+
+
 def q_prev_event(spark, sf_dir):
     events = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -525,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_embeddings": q_near_dup_embeddings,
         "prev_event_per_user": q_prev_event,
         "simhash_docs": q_simhash_docs,
+        "semantic_blend_events": q_semantic_blend,
     }
 
 
@@ -1007,6 +1047,11 @@ def oracle_sql() -> dict[str, str]:
         # deterministic IVF path (tools/gen_ivf_golden.py) — the engine
         # never feeds its own oracle
         **_golden_sql_entry("ivf_ann_topk_embeddings", "ivf_ann_topk_sf0_01.sql"),
+        # semantic blend stage: golden from the independent scalar-FNV +
+        # numpy pipeline reimplementation (tools/gen_semantic_golden.py)
+        **_golden_sql_entry(
+            "semantic_blend_events", "semantic_blend_events_sf0_01.sql"
+        ),
     }
 
 
