@@ -333,7 +333,13 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 def run_subprocess(
     sf_dir: str, cpus: int, preset: str | None = None, mem: str | None = None
 ) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_CPUS=str(cpus),
+        # children run ONE raw bench (no sentinel-gate recursion)
+        SPARK_GRAFT_BENCH_CHILD="1",
+    )
     if preset:
         env["SPARK_GRAFT_PRESET"] = preset
     if mem:
@@ -356,6 +362,59 @@ def run_subprocess(
 
 
 STAGES = ("induce_edges", "connected_components", "pagerank_10it", "louvain_parallel")
+
+# Quiet-host bands for the recorded run (max of pre/post, ms). From the
+# r2-r4 measurement history on this shared VM: serial nominal ~300-380
+# quiet with contended runs >550; par16 nominal ~450-700 quiet (includes
+# ~150ms spawn overhead) with contended runs >1000. A committed
+# BENCH_r*.json whose sentinels exceed these is not comparable across
+# rounds (the r4 artifact of record was exactly that — VERDICT r4).
+QUIET_SERIAL_MS = 520.0
+QUIET_PAR16_MS = 800.0
+
+
+def sentinels_in_band(res: dict) -> tuple[bool, str]:
+    e = res["extra"]
+    s = max(e["host_sentinel_pre_ms"], e["host_sentinel_post_ms"])
+    p = max(e["host_sentinel_par16_pre_ms"], e["host_sentinel_par16_post_ms"])
+    ok = s <= QUIET_SERIAL_MS and p <= QUIET_PAR16_MS
+    return ok, (
+        f"serial {s:.0f}ms (quiet ≤ {QUIET_SERIAL_MS:.0f}), "
+        f"par16 {p:.0f}ms (quiet ≤ {QUIET_PAR16_MS:.0f})"
+    )
+
+
+def record(sf_dir: str, cpus: int, max_attempts: int = 3) -> dict:
+    """Sentinel-gated recorded run (r4 VERDICT 'what's wrong' #1): rerun
+    in a fresh JVM until both host-noise sentinels are inside the quiet
+    band, so the committed artifact is comparable across rounds by
+    construction. If every attempt is contended, the fastest one is
+    reported with an explicit out-of-band note instead of failing — the
+    driver contract requires one JSON line either way."""
+    best = None
+    for attempt in range(1, max_attempts + 1):
+        res = run_subprocess(sf_dir, cpus)
+        ok, desc = sentinels_in_band(res)
+        res["extra"]["sentinel_band"] = (
+            f"max(pre,post): serial<={QUIET_SERIAL_MS:.0f}ms "
+            f"par16<={QUIET_PAR16_MS:.0f}ms"
+        )
+        res["extra"]["sentinel_in_band"] = ok
+        res["extra"]["sentinel_attempt"] = attempt
+        if ok:
+            return res
+        print(
+            f"[bench] attempt {attempt}/{max_attempts} sentinel out of band "
+            f"({desc}) — retrying in a fresh JVM",
+            file=sys.stderr,
+        )
+        if best is None or res["value"] < best["value"]:
+            best = res
+    best["extra"]["sentinel_note"] = (
+        f"all {max_attempts} attempts out of band; reporting the fastest — "
+        "absolute times are inflated by host contention"
+    )
+    return best
 
 
 def scaling(sf_dir: str) -> None:
@@ -517,6 +576,10 @@ if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--scaling" in sys.argv:
         scaling(sf_dir)
-    else:
+    elif os.environ.get("SPARK_GRAFT_BENCH_CHILD") or "--raw" in sys.argv:
+        # raw single run (scaling legs / gated-record children)
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         print(json.dumps(run_bench(sf_dir, cpus)))
+    else:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        print(json.dumps(record(sf_dir, cpus)))
