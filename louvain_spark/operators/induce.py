@@ -102,6 +102,9 @@ def cooccurrence_edges(
     include_conv: bool = True,
     include_role: bool = True,
     include_tool: bool = True,
+    salt_buckets: int = 256,
+    salt_threshold: int = 65536,
+    salt_target_pairs: int = 1 << 26,
 ) -> tuple[DataFrame, DataFrame]:
     """Induce the canonical undirected co-occurrence edge table.
 
@@ -113,6 +116,28 @@ def cooccurrence_edges(
     (banded join: each side bucketed by turn_idx // w, right side
     replicated to adjacent buckets — bounds join-group size for huge
     conversations).
+
+    Hub salting (window=None only; SURVEY §4.3): a single huge
+    conversation puts its whole membership — and its QUADRATIC pair
+    output — into ONE conv_id join group, computed by one task (AQE's
+    runtime skew-split did not rescue this shape in measurement:
+    BENCH/skew_induce_r5.md). Conversations whose membership exceeds
+    salt_threshold rows (histogram pre-pass, plans/skew.heavy_keys —
+    the reference's 'histogram first' pattern) get 2-D blocked
+    self-joins: per conversation, nb = min(salt_buckets,
+    ceil(rows/sqrt(salt_target_pairs))) and each occurrence row gets a
+    block coordinate h = hash(id, turn_idx) % nb — the ROW, not just
+    id, because a dominant entity (role:assistant on half the turns)
+    would keep all its occurrences in one id-hash block. The left side
+    holds (_ia = h, all _ib), the right (_ib = h, all _ia); joining on
+    (conv, _ia, _ib) makes every pair meet exactly once at (h(a), h(b))
+    while per-task pair work is bounded at ~salt_target_pairs and
+    per-task input at ~2·rows/nb — independent of AQE. Results are
+    identical (pure plan change; duplicate (src,dst,conv) pair rows
+    from multi-turn entities existed unsalted too and the same distinct
+    absorbs them). Replication cost is explicit: each hot side travels
+    nb×. salt_buckets<=1 disables. The banded path needs no salting —
+    its groups are O(window) by construction.
     """
     mem = membership(transcripts, include_conv, include_role, include_tool)
     if vertices is None:
@@ -120,9 +145,40 @@ def cooccurrence_edges(
     m = _with_ids(mem, vertices).select("conv_id", "turn_idx", "id")
 
     if window is None:
-        a = m.alias("a")
-        b = m.alias("b")
-        pairs = a.join(b, on="conv_id").where(F.col("a.id") < F.col("b.id"))
+        if salt_buckets and salt_buckets > 1:
+            import math
+
+            from louvain_spark.plans.skew import heavy_keys
+
+            chunk = max(1.0, math.sqrt(float(salt_target_pairs)))
+            hot = heavy_keys(m, "conv_id", salt_threshold).select(
+                "conv_id",
+                F.least(
+                    F.lit(int(salt_buckets)),
+                    F.greatest(
+                        F.lit(2),
+                        F.ceil(F.col("count") / F.lit(chunk)).cast("int"),
+                    ),
+                ).alias("_nb"),
+            )
+            mt = m.join(F.broadcast(hot), "conv_id", "left").withColumn(
+                "_nb", F.coalesce("_nb", F.lit(1))
+            )
+            rowh = F.pmod(F.xxhash64("id", "turn_idx"), F.col("_nb")).cast("int")
+            blocks = F.explode(F.sequence(F.lit(0), F.col("_nb") - 1))
+            a = mt.select(
+                "conv_id", "id", rowh.alias("_ia"), blocks.alias("_ib")
+            ).alias("a")
+            b = mt.select(
+                "conv_id", "id", rowh.alias("_ib"), blocks.alias("_ia")
+            ).alias("b")
+            pairs = a.join(b, on=["conv_id", "_ia", "_ib"]).where(
+                F.col("a.id") < F.col("b.id")
+            )
+        else:
+            a = m.alias("a")
+            b = m.alias("b")
+            pairs = a.join(b, on="conv_id").where(F.col("a.id") < F.col("b.id"))
     else:
         band = max(int(window), 1)  # window=0 → same-turn only; band by turn
         a = m.withColumn("_b", (F.col("turn_idx") / band).cast("long")).alias("a")

@@ -58,6 +58,20 @@ def salted_sum(
     return partial.groupBy(*group_cols).agg(F.sum("_partial").alias(out_col))
 
 
+def heavy_keys(df: DataFrame, key_col: str, min_count: int) -> DataFrame:
+    """Keys whose row count exceeds an ABSOLUTE bound — the salting
+    trigger for bounded-per-task self-joins (induce.cooccurrence_edges):
+    a key above the bound would put > min_count rows into one join group.
+    Complements quantile-based hub_keys, which flags relative outliers
+    even when every absolute group size is harmless."""
+    return (
+        df.groupBy(key_col)
+        .count()
+        .where(F.col("count") > min_count)
+        .select(key_col, "count")
+    )
+
+
 def hub_keys(df: DataFrame, key_col: str, quantile: float = 0.999) -> DataFrame:
     """Degree-histogram pre-pass: keys whose frequency exceeds a quantile.
 
