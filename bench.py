@@ -214,7 +214,37 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         orders.withColumn("rn", F.row_number().over(w)).where("rn <= 3").count()
 
     # --- training-data ops -------------------------------------------------
-    docs = load(spark, sf_dir, "documents")
+    # Scaling presets synthesize a preset-scaled corpus (the sf_dir docs
+    # table is fixed at 5k docs for sf0.1, which left the r4 minhash stage
+    # floor-dominated in the N-vs-4N pair — W-eff unmeasurable). 80% of
+    # docs sit in ~n/40 near-dup families (family text + one per-doc
+    # token), 20% unique — so the LSH band join has real matches. All
+    # JVM-side expressions, staged through parquet like the vectors.
+    n_docs = {"scale": 60000, "scale4": 150000}.get(preset)
+    if n_docs:
+        fam = F.when(
+            F.col("id") < int(n_docs * 0.8), F.pmod("id", F.lit(n_docs // 40))
+        ).otherwise(-F.col("id"))
+        words = F.transform(
+            F.sequence(F.lit(0), F.lit(39)),
+            lambda i: F.substring(
+                F.md5(F.concat_ws("-", F.col("fam").cast("string"), i.cast("string"))),
+                1, 8,
+            ),
+        )
+        spark.range(n_docs).select("id", fam.alias("fam")).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.array_join(words, " "), F.lit(" "),
+                F.substring(F.md5(F.col("id").cast("string")), 1, 8),
+            ).alias("text"),
+        ).repartition(SHUFFLE_PARTITIONS).write.mode("overwrite").parquet(
+            f"{work}/docs"
+        )
+        docs = spark.read.parquet(f"{work}/docs")
+    else:
+        docs = load(spark, sf_dir, "documents")
+    extra["minhash_docs"] = docs.count()
     with timed("minhash_lsh"):
         minhash_lsh_pairs(docs, num_hashes=16, bands=4, n=3).count()
     emb = load(spark, sf_dir, "embeddings")
@@ -356,6 +386,17 @@ def run_subprocess(
         env["SPARK_GRAFT_PRESET"] = preset
     if mem:
         env["SPARK_GRAFT_DRIVER_MEM"] = mem
+    # Pin per-process BLAS to one thread (python workers inherit this env
+    # in local mode). Unpinned OpenBLAS fans each small numpy matmul in the
+    # Arrow/cogrouped kernels across ALL host cores, which (a) breaks the
+    # N-vs-4N core-budget premise of the scaling proxy — a local[1] leg's
+    # python workers were silently using the whole host, measured as a
+    # fake 7.8x "speedup" on ivf_ann_topk — and (b) is slower in absolute
+    # terms on these cell-sized matmuls (ivf@1: 202s unpinned → 142s
+    # pinned). A real cluster behaves like the pinned config: Spark sets
+    # OMP_NUM_THREADS to the task's core count on executors (SPARK-28843).
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        env.setdefault(var, "1")
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],
         env=env,
@@ -474,8 +515,21 @@ def scaling(sf_dir: str) -> None:
     # This makes W-efficiency = (t_N − F_N) / (4·(t_4N − F_4N)) a real
     # measurement (r4 VERDICT #6): fitting F from the same (t_N, t_4N)
     # pair would make W-eff ≡ 1 by construction.
-    floor_s = run_subprocess(sf_dir, n, preset="tiny", mem=f"{mem_per_core * n}g")
-    floor_b = run_subprocess(sf_dir, n4, preset="tiny", mem=f"{mem_per_core * n4}g")
+    # Floors are tiny-data and noise-light; a same-session re-attempt can
+    # reuse the persisted ones instead of re-paying ~12 min of floor legs.
+    floor_s = floor_b = None
+    if os.environ.get("SPARK_GRAFT_SCALING_REUSE_FLOORS"):
+        try:
+            with open(os.path.join(REPO, "BENCH", "scaling_attempts.json")) as f:
+                prior = json.load(f)
+            fs, fb = prior["floors"]
+            if fs["extra"]["cpus"] == n and fb["extra"]["cpus"] == n4:
+                floor_s, floor_b = fs, fb
+        except (OSError, KeyError, ValueError):
+            pass
+    if floor_s is None:
+        floor_s = run_subprocess(sf_dir, n, preset="tiny", mem=f"{mem_per_core * n}g")
+        floor_b = run_subprocess(sf_dir, n4, preset="tiny", mem=f"{mem_per_core * n4}g")
 
     attempts = [measure_pair()]
 
@@ -489,6 +543,14 @@ def scaling(sf_dir: str) -> None:
         rs, rb = pair
         if any(rb["queries"][k] > rs["queries"][k] / 2.0 for k in STAGES):
             return "stage speedup < 2.0 at 4x cores"
+        # >4x speedup from 4x cores is physically impossible for the
+        # JVM-side gate stages (BLAS is pinned in children, memory is
+        # per-core-constant): it means the N leg ran contended — the
+        # FLATTERING failure mode the sentinels watch for, caught here
+        # directly (observed: induce 540s@1 vs 132s@4 = 4.09x in a window
+        # whose par16 sentinels sat above the quiet band on both legs)
+        if any(rs["queries"][k] > 4.2 * rb["queries"][k] for k in STAGES):
+            return "superlinear stage speedup > 4.2x (inflated N-leg wall)"
         sents = [
             min(r["extra"]["host_sentinel_pre_ms"], r["extra"]["host_sentinel_post_ms"])
             for r in (rs, rb)
@@ -507,11 +569,60 @@ def scaling(sf_dir: str) -> None:
         ]
         if max(pars) > 1.4 * min(pars):
             return f"par16 sentinel drift {pars[0]:.0f}ms vs {pars[1]:.0f}ms"
+        # drift guards compare the legs to EACH OTHER, so a day where both
+        # legs run equally contended slips through (observed twice on
+        # 2026-08-17: both pairs' par16 sentinels sat at 630-970ms vs the
+        # documented 378-516ms quiet band and ivf@4 measured 3x its
+        # isolated quiet-window wall). Gate each leg against the same
+        # ABSOLUTE quiet band the recorded bench uses (max of pre/post,
+        # matching sentinels_in_band).
+        worst_serial = max(
+            max(r["extra"]["host_sentinel_pre_ms"], r["extra"]["host_sentinel_post_ms"])
+            for r in (rs, rb)
+        )
+        worst_par = max(
+            max(
+                r["extra"]["host_sentinel_par16_pre_ms"],
+                r["extra"]["host_sentinel_par16_post_ms"],
+            )
+            for r in (rs, rb)
+        )
+        if worst_serial > QUIET_SERIAL_MS or worst_par > QUIET_PAR16_MS:
+            return (
+                f"leg outside absolute quiet band (worst serial "
+                f"{worst_serial:.0f}ms ≤{QUIET_SERIAL_MS:.0f}, worst par16 "
+                f"{worst_par:.0f}ms ≤{QUIET_PAR16_MS:.0f})"
+            )
         return None
 
-    anomaly = pair_anomaly(attempts[0])
-    if anomaly:
+    max_pairs = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_PAIRS", "2"))
+    while len(attempts) < max_pairs:
+        anomaly = pair_anomaly(attempts[-1])
+        if not anomaly:
+            break
+        print(
+            f"[scaling] pair {len(attempts)} anomalous ({anomaly}); re-measuring",
+            file=sys.stderr, flush=True,
+        )
         attempts.append(measure_pair())
+    # Optionally merge prior persisted attempts measured with the SAME
+    # harness (per-stage minima are the best contention estimator the
+    # shared VM allows — each stage's true wall is the fastest observed).
+    # Only merge runs that are measurement-comparable; the caller asserts
+    # that by setting the flag.
+    if os.environ.get("SPARK_GRAFT_SCALING_MERGE_PRIOR"):
+        try:
+            with open(os.path.join(REPO, "BENCH", "scaling_attempts.json")) as f:
+                prior = json.load(f)
+            for pa in prior.get("attempts", []):
+                if (
+                    pa[0]["extra"]["cpus"] == n
+                    and pa[1]["extra"]["cpus"] == n4
+                    and set(pa[0]["queries"]) >= set(STAGES + ANN_STAGES)
+                ):
+                    attempts.append((pa[0], pa[1]))
+        except (OSError, KeyError, ValueError, IndexError):
+            pass
     # persist raw attempts so a later session can re-measure one level and
     # merge per-stage minima instead of repeating the full (slow) pair
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)

@@ -38,6 +38,9 @@ PRESETS = {
     # which measures overhead amortization, not the engine's partitioning.
     "scale": dict(n_conv=400000, seed=42),
     "scale4": dict(n_conv=1600000, seed=42),
+    # advisory 10x leg: ~6M turns (10x the "bench" preset sf0.1 runs use)
+    # for superlinearity checks — times/turn vs bench, not a gate
+    "sf1": dict(n_conv=500000, seed=42),
 }
 
 # driver-side pandas chunk bound: big presets generate per-chunk and union
