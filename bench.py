@@ -167,14 +167,16 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     from louvain_spark.plans.loop import SuperstepRunner
 
     with timed("connected_components"):
-        cc = connected_components(
-            spark, edges, vertices=ids,
-            runner=SuperstepRunner(
-                spark, "bench-cc", "cc",
-                checkpoint_dir=f"{work}/ckpt-cc", checkpoint_every=4,
-            ),
+        cc_runner = SuperstepRunner(
+            spark, "bench-cc", "cc",
+            checkpoint_dir=f"{work}/ckpt-cc", checkpoint_every=4,
         )
+        cc = connected_components(spark, edges, vertices=ids, runner=cc_runner)
         cc.count()
+    # round count is data-dependent (graph diameter): the tiny-preset floor
+    # leg converges in fewer rounds than the scale legs, so the per-stage
+    # floor decomposition needs this to round-match F (BASELINE.md r5)
+    extra["cc_rounds"] = cc_runner.superstep + 1
 
     with timed("pagerank_10it"):
         pr = pagerank(
