@@ -73,13 +73,130 @@ def cosine_topk_brute(
     )
 
 
-def _make_topk_cell(kk: int, thr: float | None, excl: bool):
+def _topk_core(
+    qids, qv, b_ids, mat, kk: int, thr: float | None, excl: bool,
+    block_rows: int | None = None,
+):
+    """Vectorized cell top-k: blocked matmul + batched argpartition/
+    lexsort, no per-row python. Returns (query_id, item_id, sim)
+    int64/int64/f64 numpy arrays, rows grouped by query in input order,
+    each query's candidates sorted by sim desc then item_id asc.
+
+    Query rows are processed in blocks sized so the score matrix stays
+    ~16MB, with the score buffer preallocated once and reused across
+    blocks (matmul out=, in-place negate, sparse self-exclusion writes).
+    Two reasons, both measured (tools/diag_ivf_cell.py, BENCH r5):
+    (a) peak memory — an unblocked hot cell (e.g. 30k queries × 5k
+    items) transiently allocates ~4GB of fp64/int64 temporaries, an OOM
+    risk at 4g/core executors; (b) allocation churn — full-width
+    temporaries sit far above glibc's dynamic mmap threshold, so every
+    cell mmap/munmap-faults hundreds of MB, which on a busy host stalls
+    the same argpartition 20x run-to-run (0.7s → 17s on identical
+    input). 16MB blocks keep every per-block temporary (score buffer,
+    argpartition index array) under glibc's 32MB dynamic-threshold cap,
+    so after the first free they recycle on the heap.
+
+    Per-row selection is bit-identical to the unblocked formulation
+    (same per-row argpartition head on the same negated values, same
+    (item_id, -sim) lexsort keys) — the ANN goldens pin this."""
+    nq, ni = qv.shape[0], mat.shape[0]
+    n_take = min(kk, ni)
+    if block_rows is None:
+        block_rows = max(64, (16 << 20) // max(1, ni * 8))
+    block_rows = min(block_rows, nq)
+    if excl:
+        # item ids are unique within a cell, so the dense
+        # (qids[:,None] == b_ids[None,:]) mask has at most one hit per
+        # row — locate it by binary search instead of materializing an
+        # (nq, ni) comparison + np.where copy.
+        b_order = np.argsort(b_ids, kind="stable")
+        sorted_b = b_ids[b_order]
+    sims_buf = np.empty((block_rows, ni), dtype=np.float64)
+    chunks_q, chunks_i, chunks_s = [], [], []
+    for a in range(0, nq, block_rows):
+        b = min(nq, a + block_rows)
+        sims = sims_buf[: b - a]
+        np.matmul(qv[a:b], mat.T, out=sims)
+        if excl:
+            pos = np.minimum(np.searchsorted(sorted_b, qids[a:b]), ni - 1)
+            rows = np.nonzero(sorted_b[pos] == qids[a:b])[0]
+            sims[rows, b_order[pos[rows]]] = -np.inf
+        np.negative(sims, out=sims)  # ascending partition == sim desc
+        part = np.argpartition(sims, n_take - 1, axis=1)[:, :n_take]
+        neg_s = np.take_along_axis(sims, part, axis=1)
+        pids = b_ids[part]
+        order = np.lexsort((pids, neg_s), axis=1)
+        sel_s = -np.take_along_axis(neg_s, order, axis=1)
+        sel_i = np.take_along_axis(pids, order, axis=1)
+        keep = sel_s > -np.inf
+        if thr is not None:
+            keep &= sel_s >= thr
+        keep = keep.ravel()
+        chunks_q.append(np.repeat(qids[a:b], n_take)[keep])
+        chunks_i.append(sel_i.ravel()[keep])
+        chunks_s.append(sel_s.ravel()[keep])
+    out_q = np.concatenate(chunks_q) if len(chunks_q) != 1 else chunks_q[0]
+    out_i = np.concatenate(chunks_i) if len(chunks_i) != 1 else chunks_i[0]
+    out_s = np.concatenate(chunks_s) if len(chunks_s) != 1 else chunks_s[0]
+    return (
+        out_q.astype(np.int64, copy=False),
+        out_i.astype(np.int64, copy=False),
+        out_s.astype(np.float64, copy=False),
+    )
+
+
+def _list_col_to_matrix(tbl, name: str) -> np.ndarray:
+    """Arrow list<float> column → (n, dim) float64 matrix, zero-copy on
+    the flattened values buffer (no per-row ndarray objects — the pandas
+    conversion cost this kernel exists to avoid)."""
+    col = tbl.column(name)
+    if col.num_chunks != 1:
+        col = col.combine_chunks()
+    arr = col.chunk(0) if hasattr(col, "chunk") else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    n = len(arr)
+    return flat.reshape(n, len(flat) // n).astype(np.float64)
+
+
+def _make_topk_cell_arrow(kk: int, thr: float | None, excl: bool):
     """Shared cogroup cell kernel for the blocked and IVF paths: one numpy
     matmul per (query-block × item-chunk) cell, emitting the cell-local
     per-query top-kk as (query_id, item_id, sim) — a later window merges
-    cell-local top-k's into the global top-k. Frames may carry extra key
+    cell-local top-k's into the global top-k. Tables may carry extra key
     columns (block/list/chunk ids); only query_id/_qv and item_id/_iv are
-    read."""
+    read.
+
+    Arrow-native (applyInArrow): the vector columns land as one
+    contiguous values buffer reshaped into the matmul operand, and the
+    result goes back as three flat arrays — profiled against the
+    applyInPandas form of the same math at the scaling preset (60k
+    vectors, 64 lists), where pandas list-column materialization plus a
+    per-row top-k loop made the IVF re-rank ~8x slower than its matmul
+    work (BENCH/BASELINE.md r5, tools/diag_ivf_phases.py)."""
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [("query_id", pa.int64()), ("item_id", pa.int64()), ("sim", pa.float64())]
+    )
+
+    def cell(qt: "pa.Table", it: "pa.Table") -> "pa.Table":
+        if qt.num_rows == 0 or it.num_rows == 0:
+            return out_schema.empty_table()
+        qids = qt.column("query_id").to_numpy()
+        b_ids = it.column("item_id").to_numpy()
+        qv = _list_col_to_matrix(qt, "_qv")
+        mat = _list_col_to_matrix(it, "_iv")
+        out_q, out_i, out_s = _topk_core(qids, qv, b_ids, mat, kk, thr, excl)
+        return pa.table(
+            {"query_id": out_q, "item_id": out_i, "sim": out_s}, schema=out_schema
+        )
+
+    return cell
+
+
+def _make_topk_cell(kk: int, thr: float | None, excl: bool):
+    """applyInPandas form of _make_topk_cell_arrow (same _topk_core math,
+    same contract) — kept for callers/tests that feed pandas frames."""
 
     def cell(qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
         if len(qpdf) == 0 or len(ipdf) == 0:
@@ -88,30 +205,11 @@ def _make_topk_cell(kk: int, thr: float | None, excl: bool):
             )
         qv = np.array(list(qpdf["_qv"]), dtype=np.float64)
         mat = np.array(list(ipdf["_iv"]), dtype=np.float64)
-        b_ids = ipdf["item_id"].to_numpy()
-        qids = qpdf["query_id"].to_numpy()
-        sims = qv @ mat.T  # (block, chunk)
-        if excl:
-            sims = np.where(qids[:, None] == b_ids[None, :], -np.inf, sims)
-        n_take = min(kk, sims.shape[1])
-        # argpartition then exact sort of the head; tie-break item id asc
-        part = np.argpartition(-sims, n_take - 1, axis=1)[:, :n_take]
-        out_q, out_i, out_s = [], [], []
-        for row in range(sims.shape[0]):
-            cand = part[row]
-            order = np.lexsort((b_ids[cand], -sims[row, cand]))
-            sel = cand[order]
-            s = sims[row, sel]
-            keep = s > -np.inf
-            if thr is not None:
-                keep &= s >= thr
-            sel, s = sel[keep], s[keep]
-            out_q.extend([qids[row]] * len(sel))
-            out_i.extend(b_ids[sel])
-            out_s.extend(s)
-        return pd.DataFrame({"query_id": out_q, "item_id": out_i, "sim": out_s}).astype(
-            {"query_id": "int64", "item_id": "int64", "sim": "float64"}
+        out_q, out_i, out_s = _topk_core(
+            qpdf["query_id"].to_numpy(), qv, ipdf["item_id"].to_numpy(), mat,
+            kk, thr, excl,
         )
+        return pd.DataFrame({"query_id": out_q, "item_id": out_i, "sim": out_s})
 
     return cell
 
@@ -164,12 +262,12 @@ def cosine_topk_blocked(
     i2 = i.withColumn(
         "_ib", F.pmod(F.xxhash64("item_id"), F.lit(ib)).cast("int")
     ).withColumn("_qb", F.explode(F.array(*[F.lit(x) for x in range(qb)])))
-    cell = _make_topk_cell(int(k), min_sim, bool(exclude_self))
+    cell = _make_topk_cell_arrow(int(k), min_sim, bool(exclude_self))
 
     cand = (
         q2.groupby("_qb", "_ib")
         .cogroup(i2.groupby("_qb", "_ib"))
-        .applyInPandas(cell, out_schema)
+        .applyInArrow(cell, out_schema)
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("item_id").asc())
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= int(k))
@@ -520,11 +618,11 @@ def cosine_topk_ivf(
     qx = q.withColumn("list_id", F.explode(assign_p(F.col("_qv")))).withColumn(
         "_chunk", F.explode(F.array(*[F.lit(c) for c in range(n_chunks)]))
     )
-    cell = _make_topk_cell(int(k), min_sim, bool(exclude_self))
+    cell = _make_topk_cell_arrow(int(k), min_sim, bool(exclude_self))
     scored = (
         qx.groupby("list_id", "_chunk")
         .cogroup(ix.groupby("list_id", "_chunk"))
-        .applyInPandas(cell, "query_id long, item_id long, sim double")
+        .applyInArrow(cell, "query_id long, item_id long, sim double")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("item_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -40,6 +40,23 @@ DEFAULT_CONF = {
     "spark.sql.session.timeZone": "UTC",
 }
 
+# glibc malloc tuning for python workers (numpy kernels): by default every
+# allocation over the dynamic mmap threshold (capped at 32MB) is served by
+# mmap and returned by munmap, so numpy temporaries above that size are
+# page-faulted in from scratch on EVERY kernel call — measured on this
+# host as 20x run-to-run swings on identical argpartition input
+# (tools/diag_ivf_cell.py, BENCH/BASELINE.md r5). Raising the threshold
+# and matching the trim threshold lets the worker's heap recycle buffers
+# up to 128MB across calls (the kernels themselves block their
+# temporaries well below that — see similarity._topk_core). Workers read
+# these at process start: os.environ covers local mode (the python daemon
+# is a descendant of this process); spark.executorEnv covers real
+# executors.
+_WORKER_MALLOC_ENV = {
+    "MALLOC_MMAP_THRESHOLD_": str(128 * 1024 * 1024),
+    "MALLOC_TRIM_THRESHOLD_": str(128 * 1024 * 1024),
+}
+
 
 def get_spark(
     app_name: str = "louvain_spark",
@@ -50,6 +67,9 @@ def get_spark(
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[4]")
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(DEFAULT_CONF)
+    for var, val in _WORKER_MALLOC_ENV.items():
+        os.environ.setdefault(var, val)
+        conf.setdefault(f"spark.executorEnv.{var}", os.environ[var])
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
