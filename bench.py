@@ -657,6 +657,31 @@ def scaling(sf_dir: str) -> None:
                 round(f_s, 2), round(f_b, 2), round(weff, 3),
             )
         )
+    # Round-matched CC floor bracket (BASELINE r5 note): CC's round count
+    # is data-dependent (graph diameter), so the tiny floor leg converges
+    # in fewer supersteps than the scale leg and F under-counts the
+    # per-round serial cost — a DOWNWARD bias on W-eff. Scaling the whole
+    # tiny wall by the round ratio over-counts instead (the floor also
+    # contains fixed session/plan cost that does not repeat per round), an
+    # UPWARD bias. Report both: true CC work efficiency lies in between.
+    cc_bracket = None
+    try:
+        rounds_s = r_small["extra"]["cc_rounds"]
+        rounds_b = r_big["extra"]["cc_rounds"]
+        fr_s = floor_s["extra"]["cc_rounds"]
+        fr_b = floor_b["extra"]["cc_rounds"]
+        fm_s = floor_s["queries"]["connected_components"] * rounds_s / fr_s
+        fm_b = floor_b["queries"]["connected_components"] * rounds_b / fr_b
+        wm_s = best(0, "connected_components") - fm_s
+        wm_b = best(1, "connected_components") - fm_b
+        if wm_s > 0 and wm_b > 0:
+            cc_bracket = {
+                "rounds": (rounds_s, rounds_b, fr_s, fr_b),
+                "f_matched": (round(fm_s, 2), round(fm_b, 2)),
+                "weff_hi": round(wm_s / (4.0 * wm_b), 3),
+            }
+    except (KeyError, ZeroDivisionError, TypeError):
+        pass
     n_edges = r_small["extra"]["edges"]
     eps_s = round(n_edges / best(0, "induce_edges"), 1)
     eps_b = round(n_edges / best(1, "induce_edges"), 1)
@@ -696,6 +721,18 @@ def scaling(sf_dir: str) -> None:
             f.write(
                 f"| {name} | {t_s} | {t_b} | {sp}x | {eff} | "
                 f"{f_s} | {f_b} | {weff} |\n"
+            )
+        if cc_bracket:
+            rs_, rb_, fs_, fb_ = cc_bracket["rounds"]
+            fms, fmb = cc_bracket["f_matched"]
+            f.write(
+                f"\nCC round-matched floor bracket: scale legs ran "
+                f"{rs_}/{rb_} supersteps vs {fs_}/{fb_} in the tiny floor "
+                f"legs; scaling F by the round ratio gives F'={fms}/{fmb} "
+                f"and W-eff' = {cc_bracket['weff_hi']} — an UPPER bound "
+                f"(the floor's fixed session cost does not repeat per "
+                f"round), while the unmatched W-eff in the table is the "
+                f"LOWER bound. True CC work efficiency lies between.\n"
             )
         f.write(
             f"\npreset={preset}; attempts per level: {len(attempts)}"
@@ -737,7 +774,9 @@ def scaling(sf_dir: str) -> None:
         )
     print(json.dumps({
         "n": n, "n4": n4, "eff_edges_per_sec": eff_eps, "per_stage": effs,
-        "per_stage_w_eff": weffs,
+        "per_stage_w_eff": weffs, "cc_weff_upper": (
+            cc_bracket["weff_hi"] if cc_bracket else None
+        ),
         f"eps{n}": eps_s, f"eps{n4}": eps_b,
     }))
 
