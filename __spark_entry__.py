@@ -33,6 +33,7 @@ from louvain_spark.operators.dedup import (
     embedding_near_dup_pairs,
     minhash_lsh_pairs,
     minhash_signatures,
+    near_dup_clusters,
     ngram_jaccard_pairs,
     simhash_signatures,
 )
@@ -41,6 +42,7 @@ from louvain_spark.operators.lpa import label_propagation
 from louvain_spark.operators.louvain import louvain
 from louvain_spark.operators.pagerank import pagerank
 from louvain_spark.operators.quality import modularity
+from louvain_spark.operators.sampling import hash_split, stratified_sample
 from louvain_spark.operators.semantic import blend_weights, semantic_pairs
 from louvain_spark.operators.similarity import (
     cosine_topk_brute,
@@ -360,6 +362,32 @@ def q_lsh_pairs_docs(spark, sf_dir):
     return minhash_lsh_pairs(docs, num_hashes=8, bands=4, n=1).select("src", "dst")
 
 
+def q_near_dup_clusters_docs(spark, sf_dir):
+    """Transitive near-dup clusters + canonical member over the LSH
+    candidate pairs (same params as lsh_pairs_docs) — the end-to-end
+    'keep one per cluster' dedup action."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=8, bands=4, n=3)
+    return near_dup_clusters(spark, pairs).select(
+        "doc_id", "group_id", "group_size", "is_canonical"
+    )
+
+
+def q_stratified_sample_docs(spark, sf_dir):
+    """Deterministic per-source 5-sample (curation downsampling) — exact
+    hash-rank semantics via the skew-safe prefilter+window path."""
+    docs = load(spark, sf_dir, "documents")
+    return stratified_sample(docs, "source", 5, "doc_id").select(
+        "source", "doc_id", "rn"
+    )
+
+
+def q_hash_split_docs(spark, sf_dir):
+    """Leakage-free train/holdout assignment by id-hash threshold."""
+    docs = load(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id").select("doc_id", "split")
+
+
 def q_token_stats_docs(spark, sf_dir):
     from louvain_spark.operators.textstats import bpe_token_count, token_count
 
@@ -554,6 +582,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": q_fingerprint_docs,
         "minhash_sig_docs": q_minhash_sig_docs,
         "lsh_pairs_docs": q_lsh_pairs_docs,
+        "near_dup_clusters_docs": q_near_dup_clusters_docs,
+        "stratified_sample_docs": q_stratified_sample_docs,
+        "hash_split_docs": q_hash_split_docs,
         "token_stats_docs": q_token_stats_docs,
         "quality_scores_docs": q_quality_docs,
         "language_id_docs": q_language_id_docs,
@@ -636,6 +667,20 @@ WITH w AS (
   FROM documents, UNNEST(string_split({_NORM_TEXT}, ' ')) AS t(word)
 ),
 sig AS (SELECT doc_id, {_MINHASH_MINS} FROM w GROUP BY doc_id)
+"""
+
+_WORDS3_CTE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS ts FROM documents
+),
+sh3 AS (
+  SELECT DISTINCT doc_id,
+    array_to_string(list_slice(ts, i + 1, i + 3), ' ') AS shingle
+  FROM toks, UNNEST(range(0, greatest(len(ts) - 3, 0) + 1)) AS t(i)
+),
+sig AS (SELECT doc_id, {", ".join(
+    f"min(md5('s{i}:' || shingle)) AS h{i}" for i in range(8)
+)} FROM sh3 GROUP BY doc_id)
 """
 
 _ANN_SQL = """
@@ -968,6 +1013,50 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
         FROM buckets a JOIN buckets b ON a.b = b.b AND a.doc_id < b.doc_id
+        """,
+        "near_dup_clusters_docs": _WORDS3_CTE
+        + """
+        , buckets AS (
+          SELECT doc_id, b FROM sig, UNNEST([
+            '0:' || md5(h0 || '|' || h1),
+            '1:' || md5(h2 || '|' || h3),
+            '2:' || md5(h4 || '|' || h5),
+            '3:' || md5(h6 || '|' || h7)
+          ]) AS t(b)
+        ),
+        p AS (
+          SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+          FROM buckets a JOIN buckets b ON a.b = b.b AND a.doc_id < b.doc_id
+        ),
+        sym AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+        ids AS (SELECT DISTINCT src AS id FROM sym),
+        lbl AS (
+          WITH RECURSIVE r(id, comp) AS (
+            SELECT id, id FROM ids
+            UNION
+            SELECT s.src, least(x.comp, s.dst)
+            FROM sym s JOIN r x ON s.dst = x.id
+          )
+          SELECT id, min(comp) AS comp FROM r GROUP BY id
+        ),
+        gs AS (SELECT comp, count(*) AS group_size FROM lbl GROUP BY comp)
+        SELECT l.id AS doc_id, l.comp AS group_id, gs.group_size,
+               l.id = l.comp AS is_canonical
+        FROM lbl l JOIN gs USING (comp)
+        """,
+        "stratified_sample_docs": """
+        SELECT source, doc_id, rn FROM (
+          SELECT source, doc_id,
+            row_number() OVER (PARTITION BY source
+              ORDER BY md5('s0:' || doc_id::VARCHAR), doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 5
+        """,
+        "hash_split_docs": f"""
+        SELECT doc_id,
+          CASE WHEN md5('split:' || doc_id::VARCHAR) < '{"c" * 32}'
+               THEN 'train' ELSE 'holdout' END AS split
+        FROM documents
         """,
         "token_stats_docs": f"""
         SELECT doc_id, len({_TOKENS}) AS n_tokens,

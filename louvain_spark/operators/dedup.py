@@ -407,3 +407,41 @@ def embedding_near_dup_pairs(
         .groupBy("src", "dst")
         .agg(F.max("sim").alias("sim"))
     )
+
+
+def near_dup_clusters(spark, pairs: DataFrame) -> DataFrame:
+    """(doc_id, group_id, group_size, is_canonical) — transitive near-dup
+    clusters over candidate pairs, with a deterministic canonical member.
+
+    The "keep one per near-duplicate cluster" action of a training-data
+    dedup pipeline: `pairs` (src, dst) comes from any candidate generator
+    (minhash_lsh_pairs, simhash_pairs, ngram_jaccard_pairs,
+    embedding_near_dup_pairs); the transitive closure runs through the
+    skew-safe distributed connected-components operator (min-id label
+    propagation — a 100 TB pair set never fits a driver-side union-find),
+    so group_id = min doc_id reachable and is_canonical = (doc_id ==
+    group_id). Only clustered docs appear (every vertex here has ≥1
+    neighbor by construction, so group_size ≥ 2); anti-join the
+    non-canonical rows against the corpus to materialize the deduped set.
+
+    Generalizes the reference's driver-side exact-name dedup
+    (/root/reference/data/south_china.py:7 — remove_duplicate_news, a
+    driver-side seen-title set) to transitive fuzzy clusters at cluster scale.
+
+    Scale: CC shuffles are keyed by doc_id (uniform); the group-size agg
+    is a map-side-combinable count keyed by component. No skew hotspot:
+    even a pathological near-dup family of m docs is one component whose
+    size agg sees m pre-combined partial counts, not m rows on one task.
+    """
+    from .cc import connected_components
+
+    comp = connected_components(spark, pairs.select("src", "dst"))
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return comp.join(sizes, "component").select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("group_id"),
+        "group_size",
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )

@@ -245,3 +245,29 @@ def test_embedding_near_dup_exact_and_approximate(spark):
         ).collect()
     }
     assert approx == want
+
+
+def test_near_dup_clusters_transitive_canonical(spark):
+    """LSH pairs → CC transitive closure → min-id canonical per cluster.
+
+    Chain A-B-C where A~B and B~C pair but A-C never do directly: the
+    cluster must still merge (transitivity is the point of using CC
+    instead of keeping raw pairs), canonical = min doc_id, singletons
+    (docs in no pair) absent.
+    """
+    from louvain_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (50, 60)], "src long, dst long"
+    )
+    out = {
+        r["doc_id"]: (r["group_id"], r["group_size"], r["is_canonical"])
+        for r in near_dup_clusters(spark, pairs).collect()
+    }
+    assert out == {
+        10: (10, 3, True),
+        20: (10, 3, False),
+        30: (10, 3, False),
+        50: (50, 2, True),
+        60: (50, 2, False),
+    }

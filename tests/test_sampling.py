@@ -1,0 +1,69 @@
+"""Curation sampling ops vs pure-python md5 oracles."""
+
+import hashlib
+
+import pytest
+
+from louvain_spark.operators.sampling import hash_split, stratified_sample
+
+ROWS = [(i, f"g{i % 3}") for i in range(60)]
+SCHEMA = "id long, grp string"
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def _expected_sample(k: int, salt: str = "s0"):
+    by_grp = {}
+    for i, g in ROWS:
+        by_grp.setdefault(g, []).append(i)
+    out = {}
+    for g, ids in by_grp.items():
+        ranked = sorted(ids, key=lambda i: (_md5(f"{salt}:{i}"), i))
+        for rn, i in enumerate(ranked[:k], start=1):
+            out[(g, i)] = rn
+    return out
+
+
+@pytest.mark.parametrize("oversample", [4.0, 0.01])
+def test_stratified_sample_exact_vs_python(spark, oversample):
+    """oversample=0.01 starves the prefilter so the deficiency fallback
+    must re-admit whole groups — the result must be identical either way
+    (the fallback keeps the semantics exact, not approximate)."""
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    got = {
+        (r["grp"], r["id"]): r["rn"]
+        for r in stratified_sample(
+            df, "grp", 4, "id", oversample=oversample
+        ).collect()
+    }
+    assert got == _expected_sample(4)
+
+
+def test_stratified_sample_k_exceeds_group(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    out = stratified_sample(df, "grp", 1000, "id").collect()
+    assert len(out) == len(ROWS)  # every row sampled, ranked
+    assert {r["rn"] for r in out if r["grp"] == "g0"} == set(range(1, 21))
+
+
+def test_hash_split_matches_python_and_is_stable(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    got = {r["id"]: r["split"] for r in hash_split(df, "id").collect()}
+    exp = {
+        i: "train" if _md5(f"split:{i}") < "c" * 32 else "holdout"
+        for i, _ in ROWS
+    }
+    assert got == exp
+    # repartitioning must not move any row across the split
+    got2 = {
+        r["id"]: r["split"] for r in hash_split(df.repartition(7), "id").collect()
+    }
+    assert got2 == got
+
+
+def test_hash_split_rejects_bad_threshold(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    with pytest.raises(ValueError):
+        hash_split(df, "id", threshold_hex="zz")
