@@ -34,6 +34,7 @@ from louvain_spark.operators.dedup import (
     minhash_lsh_pairs,
     minhash_signatures,
     near_dup_clusters,
+    ngram_contamination,
     ngram_jaccard_pairs,
     simhash_signatures,
 )
@@ -388,6 +389,20 @@ def q_hash_split_docs(spark, sf_dir):
     return hash_split(docs, "doc_id").select("doc_id", "split")
 
 
+def q_contamination_docs(spark, sf_dir):
+    """Decontamination audit of the hash_split holdout vs train: per
+    holdout doc, the fraction of its 8-gram shingles present anywhere in
+    the train corpus (near-dup families crossing the split light up)."""
+    docs = load(spark, sf_dir, "documents")
+    lab = hash_split(docs, "doc_id")
+    return ngram_contamination(
+        lab.where(F.col("split") == "train"),
+        lab.where(F.col("split") == "holdout"),
+        n=8,
+        threshold=0.5,
+    ).select("doc_id", "n_shingles", "n_hit", "frac_r6", "contaminated")
+
+
 def q_token_stats_docs(spark, sf_dir):
     from louvain_spark.operators.textstats import bpe_token_count, token_count
 
@@ -585,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters_docs": q_near_dup_clusters_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
         "hash_split_docs": q_hash_split_docs,
+        "contamination_docs": q_contamination_docs,
         "token_stats_docs": q_token_stats_docs,
         "quality_scores_docs": q_quality_docs,
         "language_id_docs": q_language_id_docs,
@@ -1057,6 +1073,28 @@ def oracle_sql() -> dict[str, str]:
           CASE WHEN md5('split:' || doc_id::VARCHAR) < '{"c" * 32}'
                THEN 'train' ELSE 'holdout' END AS split
         FROM documents
+        """,
+        "contamination_docs": f"""
+        WITH lab AS (
+          SELECT doc_id, {_NORM_TEXT} AS txt,
+            md5('split:' || doc_id::VARCHAR) < '{"c" * 32}' AS is_train
+          FROM documents
+        ),
+        toks AS (SELECT doc_id, is_train, string_split(txt, ' ') AS ts FROM lab),
+        sh AS (
+          SELECT DISTINCT doc_id, is_train,
+            array_to_string(list_slice(ts, i + 1, i + 8), ' ') AS shingle
+          FROM toks, UNNEST(range(0, greatest(len(ts) - 8, 0) + 1)) AS t(i)
+        ),
+        tr AS (SELECT DISTINCT shingle FROM sh WHERE is_train),
+        te AS (SELECT doc_id, shingle FROM sh WHERE NOT is_train),
+        sizes AS (SELECT doc_id, count(*) AS n_shingles FROM te GROUP BY doc_id),
+        hits AS (SELECT doc_id, count(*) AS n_hit
+                 FROM te JOIN tr USING (shingle) GROUP BY doc_id)
+        SELECT s.doc_id, s.n_shingles, coalesce(h.n_hit, 0) AS n_hit,
+          round(coalesce(h.n_hit, 0)::DOUBLE / s.n_shingles, 6) AS frac_r6,
+          coalesce(h.n_hit, 0)::DOUBLE / s.n_shingles >= 0.5 AS contaminated
+        FROM sizes s LEFT JOIN hits h USING (doc_id)
         """,
         "token_stats_docs": f"""
         SELECT doc_id, len({_TOKENS}) AS n_tokens,

@@ -445,3 +445,45 @@ def near_dup_clusters(spark, pairs: DataFrame) -> DataFrame:
         "group_size",
         (F.col("id") == F.col("component")).alias("is_canonical"),
     )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 8,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_shingles, n_hit, frac_r6, contaminated) per test doc —
+    the train/eval decontamination check of an LLM data pipeline: which
+    held-out documents share word n-grams with the training corpus.
+
+    The train side collapses to a DISTINCT shingle set before the join,
+    so each test shingle matches at most one row — no join fan-out and no
+    hot-key blow-up no matter how frequent a boilerplate n-gram is in
+    train (the max_df skew cap the pairwise shingle joins need is
+    unnecessary here by construction). Both shuffles are keyed by
+    content-derived shingles (uniform); the per-doc aggregation is
+    map-side combinable. At 100 TB the distinct train-shingle set is the
+    dominant shuffle; n=8-or-longer grams keep it near-unique per source
+    sentence, i.e. proportional to the corpus, not quadratic in it.
+
+    Composes with hash_split (leakage audit of a proposed split) or any
+    external eval set sharing (id_col, text_col).
+    """
+    tr = shingles(train, id_col, text_col, n).select("shingle").distinct()
+    te = shingles(test, id_col, text_col, n)
+    sizes = te.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = te.join(tr, "shingle").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
+    frac = n_hit / F.col("n_shingles")
+    return sizes.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        n_hit.alias("n_hit"),
+        F.round(frac, 6).alias("frac_r6"),
+        (frac >= threshold).alias("contaminated"),
+    )

@@ -67,3 +67,48 @@ def test_hash_split_rejects_bad_threshold(spark):
     df = spark.createDataFrame(ROWS, SCHEMA)
     with pytest.raises(ValueError):
         hash_split(df, "id", threshold_hex="zz")
+
+
+def test_ngram_contamination_vs_python(spark):
+    """Known overlap: t1 copies d1's text (fully contaminated), t2 shares
+    half its 3-grams with d2, t3 is clean. Checked against a pure-python
+    shingle-set oracle with the same clamped-slice semantics."""
+    from louvain_spark.operators.dedup import ngram_contamination
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),
+            (11, "one two three four nine ten eleven twelve"),
+            (12, "totally different words appear here only"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def sh(t, n=3):
+        w = t.split()
+        return {
+            " ".join(w[i : i + n]) for i in range(max(len(w) - n, 0) + 1)
+        }
+
+    tr = sh("alpha beta gamma delta epsilon zeta") | sh(
+        "one two three four five six seven eight"
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_hit"], r["contaminated"])
+        for r in ngram_contamination(train, test, n=3, threshold=0.5).collect()
+    }
+    for doc_id, text in [
+        (10, "alpha beta gamma delta epsilon zeta"),
+        (11, "one two three four nine ten eleven twelve"),
+        (12, "totally different words appear here only"),
+    ]:
+        s = sh(text)
+        hit = len(s & tr)
+        assert got[doc_id] == (len(s), hit, hit / len(s) >= 0.5), doc_id
