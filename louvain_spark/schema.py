@@ -82,3 +82,16 @@ LEDGER = T.StructType(
         T.StructField("checkpoint_path", T.StringType(), True),
     ]
 )
+
+
+# Documents table (training-data pipeline family — matches the testdata
+# documents.parquet shape).
+DOCUMENTS = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ]
+)
