@@ -389,6 +389,18 @@ def q_hash_split_docs(spark, sf_dir):
     return hash_split(docs, "doc_id").select("doc_id", "split")
 
 
+def q_corpus_stats_docs(spark, sf_dir):
+    """Dataset-card summary per language (exact percentile mode so the
+    DuckDB quantile_cont oracle hash-matches; production uses the
+    percentile_approx sketch mode)."""
+    from louvain_spark.operators.textstats import corpus_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return corpus_stats(docs, keys=("lang",), exact=True).select(
+        "lang", "n_docs", "n_sources", "mean_val", "p50_val", "p90_val"
+    )
+
+
 def q_contamination_docs(spark, sf_dir):
     """Decontamination audit of the hash_split holdout vs train: per
     holdout doc, the fraction of its 8-gram shingles present anywhere in
@@ -601,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": q_stratified_sample_docs,
         "hash_split_docs": q_hash_split_docs,
         "contamination_docs": q_contamination_docs,
+        "corpus_stats_docs": q_corpus_stats_docs,
         "token_stats_docs": q_token_stats_docs,
         "quality_scores_docs": q_quality_docs,
         "language_id_docs": q_language_id_docs,
@@ -1095,6 +1108,14 @@ def oracle_sql() -> dict[str, str]:
           round(coalesce(h.n_hit, 0)::DOUBLE / s.n_shingles, 6) AS frac_r6,
           coalesce(h.n_hit, 0)::DOUBLE / s.n_shingles >= 0.5 AS contaminated
         FROM sizes s LEFT JOIN hits h USING (doc_id)
+        """,
+        "corpus_stats_docs": """
+        SELECT lang, count(*) AS n_docs,
+               count(DISTINCT source) AS n_sources,
+               round(avg(n_chars), 6) AS mean_val,
+               round(quantile_cont(n_chars, 0.5), 6) AS p50_val,
+               round(quantile_cont(n_chars, 0.9), 6) AS p90_val
+        FROM documents GROUP BY lang
         """,
         "token_stats_docs": f"""
         SELECT doc_id, len({_TOKENS}) AS n_tokens,

@@ -115,3 +115,35 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
     sh = shingles(docs, id_col, text_col, n)
     return sh.groupBy("doc_id").agg(F.min(F.md5(F.col("shingle"))).alias("fingerprint"))
+
+
+def corpus_stats(
+    docs: DataFrame,
+    keys: tuple[str, ...] = ("lang",),
+    value_col: str = "n_chars",
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Dataset-card summary per key group: doc count, distinct sources,
+    mean and p50/p90 of `value_col`.
+
+    exact=False (the 100 TB default) uses `percentile_approx` — a
+    mergeable t-digest-style sketch that aggregates map-side and never
+    materializes a per-group sort; `accuracy` trades memory for error
+    (worst-case rank error 1/accuracy). exact=True uses `percentile`
+    (exact linear interpolation, bit-equal to DuckDB quantile_cont —
+    the oracle mode), which buffers each group's values and is only for
+    oracle parity and small data.
+    """
+    pctl = (
+        (lambda p: F.percentile(value_col, p))
+        if exact
+        else (lambda p: F.percentile_approx(value_col, p, accuracy))
+    )
+    return docs.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.col("source")).alias("n_sources"),
+        F.round(F.avg(value_col), 6).alias("mean_val"),
+        F.round(pctl(0.5).cast("double"), 6).alias("p50_val"),
+        F.round(pctl(0.9).cast("double"), 6).alias("p90_val"),
+    )

@@ -112,3 +112,24 @@ def test_ngram_contamination_vs_python(spark):
         s = sh(text)
         hit = len(s & tr)
         assert got[doc_id] == (len(s), hit, hit / len(s) >= 0.5), doc_id
+
+
+def test_corpus_stats_approx_close_to_exact(spark):
+    """The sketch mode (the 100 TB path) stays within its documented rank
+    error of exact quantiles on a skewed value distribution."""
+    from louvain_spark.operators.textstats import corpus_stats
+
+    rows = [(i, "t", "en" if i % 4 else "de", f"s{i % 5}", i * i % 997)
+            for i in range(400)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    ex = {r["lang"]: r for r in corpus_stats(df, exact=True).collect()}
+    ap = {r["lang"]: r for r in corpus_stats(df, exact=False).collect()}
+    assert set(ex) == set(ap) == {"en", "de"}
+    for lang in ex:
+        assert ap[lang]["n_docs"] == ex[lang]["n_docs"]
+        assert ap[lang]["mean_val"] == ex[lang]["mean_val"]
+        for q in ("p50_val", "p90_val"):
+            # approx returns an actual element near the exact quantile
+            assert abs(ap[lang][q] - ex[lang][q]) <= 50, (lang, q)
