@@ -43,7 +43,11 @@ from louvain_spark.operators.lpa import label_propagation
 from louvain_spark.operators.louvain import louvain
 from louvain_spark.operators.pagerank import pagerank
 from louvain_spark.operators.quality import modularity
-from louvain_spark.operators.sampling import hash_split, stratified_sample
+from louvain_spark.operators.sampling import (
+    hash_split,
+    pack_documents,
+    stratified_sample,
+)
 from louvain_spark.operators.semantic import blend_weights, semantic_pairs
 from louvain_spark.operators.similarity import (
     cosine_topk_brute,
@@ -415,6 +419,15 @@ def q_contamination_docs(spark, sf_dir):
     ).select("doc_id", "n_shingles", "n_hit", "frac_r6", "contaminated")
 
 
+def q_pack_documents_docs(spark, sf_dir):
+    """Deterministic concat-and-chunk sequence packing (budget 256 word
+    tokens, 16 hash shards) — the pretraining batch-prep step."""
+    docs = load(spark, sf_dir, "documents")
+    return pack_documents(docs, budget=256, shard_chars=1).select(
+        "doc_id", "shard", "n_tokens", "offset", "pack_id"
+    )
+
+
 def q_token_stats_docs(spark, sf_dir):
     from louvain_spark.operators.textstats import bpe_token_count, token_count
 
@@ -614,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_docs": q_hash_split_docs,
         "contamination_docs": q_contamination_docs,
         "corpus_stats_docs": q_corpus_stats_docs,
+        "pack_documents_docs": q_pack_documents_docs,
         "token_stats_docs": q_token_stats_docs,
         "quality_scores_docs": q_quality_docs,
         "language_id_docs": q_language_id_docs,
@@ -1116,6 +1130,23 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(n_chars, 0.5), 6) AS p50_val,
                round(quantile_cont(n_chars, 0.9), 6) AS p90_val
         FROM documents GROUP BY lang
+        """,
+        "pack_documents_docs": f"""
+        WITH base AS (
+          SELECT doc_id, len({_TOKENS})::BIGINT AS n_tokens,
+            md5('pack:' || doc_id::VARCHAR) AS k
+          FROM documents
+        ),
+        cum AS (
+          SELECT doc_id, substr(k, 1, 1) AS shard, n_tokens,
+            sum(n_tokens) OVER (PARTITION BY substr(k, 1, 1)
+              ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS "offset"
+          FROM base
+        )
+        SELECT doc_id, shard, n_tokens, "offset",
+               floor("offset" / 256.0)::BIGINT AS pack_id
+        FROM cum
         """,
         "token_stats_docs": f"""
         SELECT doc_id, len({_TOKENS}) AS n_tokens,

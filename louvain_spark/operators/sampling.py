@@ -115,3 +115,61 @@ def hash_split(
             F.lit(right_label)
         ),
     )
+
+
+def pack_documents(
+    df: DataFrame,
+    budget: int,
+    shard_chars: int = 2,
+    id_col: str = "doc_id",
+    count_col: str | None = None,
+    text_col: str = "text",
+    salt: str = "pack",
+) -> DataFrame:
+    """(doc_id, shard, n_tokens, offset, pack_id) — deterministic
+    concat-and-chunk sequence packing, the pretraining batch-prep step:
+    documents tile a virtual token stream per shard; `pack_id` is the
+    fixed-`budget` chunk a document STARTS in (docs may straddle chunk
+    boundaries, exactly as concat-and-chunk training pipelines do).
+
+    Deterministic and engine-portable by construction: the shard is the
+    first `shard_chars` hex chars of md5(salt:id) (16^shard_chars uniform
+    shards — no numeric hex parsing, the label is the substring itself),
+    the order within a shard is (md5 key, id), and the offset is a
+    running sum over that order. Re-running on a re-partitioned or
+    re-shuffled corpus yields byte-identical packs, so a training run can
+    be reproduced from the raw corpus alone.
+
+    Scale: each shard's window is a sort of ~|corpus|/16^shard_chars rows
+    keyed by a uniform hash — raise shard_chars until a shard fits an
+    executor (4 hex chars = 65536 shards ≈ 1.5 GB/shard at 100 TB).
+    The sort is the price of a reproducible global order; there is no
+    cheaper deterministic packing.
+    """
+    if count_col is None:
+        from .textstats import token_count
+
+        cnt = token_count(F.col(text_col))
+    else:
+        cnt = F.col(count_col)
+    key = _rank_key(id_col, salt)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        cnt.cast("long").alias("n_tokens"),
+        key.alias("_key"),
+        F.substring(key, 1, shard_chars).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    offset = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("offset")
+    out = base.select("doc_id", "shard", "n_tokens", offset)
+    return out.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "offset",
+        F.floor(F.col("offset") / budget).cast("long").alias("pack_id"),
+    )

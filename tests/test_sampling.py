@@ -133,3 +133,28 @@ def test_corpus_stats_approx_close_to_exact(spark):
         for q in ("p50_val", "p90_val"):
             # approx returns an actual element near the exact quantile
             assert abs(ap[lang][q] - ex[lang][q]) <= 50, (lang, q)
+
+
+def test_pack_documents_contiguous_and_repartition_stable(spark):
+    """Offsets tile each shard's token stream with no gaps or overlaps,
+    pack_id = floor(offset/budget), and the packing is byte-identical
+    under an adversarial repartition (reproducible-training contract)."""
+    from louvain_spark.operators.sampling import pack_documents
+
+    rows = [(i, "w " * (5 + i % 17)) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_documents(df, budget=32, shard_chars=1).collect()
+
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+        assert r["pack_id"] == r["offset"] // 32
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["offset"])
+        cum = 0
+        for r in rs:
+            assert r["offset"] == cum, (shard, r)
+            cum += r["n_tokens"]
+
+    out2 = pack_documents(df.repartition(13), budget=32, shard_chars=1).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
