@@ -58,6 +58,34 @@ _WORKER_MALLOC_ENV = {
 }
 
 
+def _sweep_orphaned_local_dirs() -> None:
+    """Remove shuffle/local dirs orphaned by killed JVMs.
+
+    spark.local.dir defaults to tmpfs here, and a SIGKILL'd or OOM-killed
+    JVM never runs its shutdown hook — its local dir leaks. Leaks
+    accumulate across runs until tmpfs starves the host (observed: 109 GB
+    in /dev/shm/spark-local after a long session; the next JVM was then
+    OOM-killed at launch). Sweeping is exactly safe when no JVM is alive:
+    every entry is orphaned by definition. With any java process running
+    we cannot attribute dirs to owners, so do nothing.
+    """
+    base = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
+    if not os.path.isdir(base):
+        return
+    import shutil
+    import subprocess
+
+    try:
+        if subprocess.run(
+            ["pgrep", "-x", "java"], capture_output=True
+        ).returncode == 0:
+            return  # a live JVM may own some of these dirs
+        for name in os.listdir(base):
+            shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+    except OSError:
+        pass
+
+
 def get_spark(
     app_name: str = "louvain_spark",
     master: str | None = None,
@@ -65,6 +93,8 @@ def get_spark(
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with engine defaults applied."""
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[4]")
+    if master.startswith("local"):
+        _sweep_orphaned_local_dirs()
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(DEFAULT_CONF)
     for var, val in _WORKER_MALLOC_ENV.items():
