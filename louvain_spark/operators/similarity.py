@@ -322,6 +322,31 @@ def _bucket_expr(vec_col, planes_t: list[list[float]], table: int):
     return F.concat(F.lit(f"{table}:"), *bits)
 
 
+def _cap_items(ib: DataFrame, max_bucket: int) -> DataFrame:
+    """Two-level exact hot-cell cap (see _lsh_candidates docstring).
+
+    Works on any frame with (item_id, bucket [, payload...]) — level 1
+    caps 64 hash-salted subgroups so no window task holds a whole hot
+    bucket; level 2 sees <= 64*max_bucket rows per bucket and returns the
+    IDENTICAL subset a direct per-bucket window would."""
+    hk = F.xxhash64("item_id", F.col("bucket"))
+    ib = ib.withColumn("_salt", F.pmod(hk, F.lit(64)).cast("int"))
+    w1 = Window.partitionBy("bucket", "_salt").orderBy(
+        hk.asc(), F.col("item_id").asc()
+    )
+    ib = (
+        ib.withColumn("_r", F.row_number().over(w1))
+        .where(F.col("_r") <= max_bucket)
+        .drop("_r", "_salt")
+    )
+    w2 = Window.partitionBy("bucket").orderBy(hk.asc(), F.col("item_id").asc())
+    return (
+        ib.withColumn("_r", F.row_number().over(w2))
+        .where(F.col("_r") <= max_bucket)
+        .drop("_r")
+    )
+
+
 def _lsh_candidates(
     q: DataFrame,
     i: DataFrame,
@@ -371,22 +396,7 @@ def _lsh_candidates(
         # subgroup's smallest-max_bucket, so level 2's window sees at most
         # 64·max_bucket rows per bucket and returns the IDENTICAL subset
         # a direct per-bucket window would.
-        hk = F.xxhash64("item_id", F.col("bucket"))
-        ib = ib.withColumn("_salt", F.pmod(hk, F.lit(64)).cast("int"))
-        w1 = Window.partitionBy("bucket", "_salt").orderBy(
-            hk.asc(), F.col("item_id").asc()
-        )
-        ib = (
-            ib.withColumn("_r", F.row_number().over(w1))
-            .where(F.col("_r") <= max_bucket)
-            .drop("_r", "_salt")
-        )
-        w2 = Window.partitionBy("bucket").orderBy(hk.asc(), F.col("item_id").asc())
-        ib = (
-            ib.withColumn("_r", F.row_number().over(w2))
-            .where(F.col("_r") <= max_bucket)
-            .drop("_r")
-        )
+        ib = _cap_items(ib, max_bucket)
     # bucket join + dedup on BARE IDS — at 1024-dim embeddings, carrying
     # vectors through the distinct would shuffle ~8KB/row; instead the
     # widest exchanges (bucket join, dedup) move only (bucket, id) /
@@ -413,6 +423,7 @@ def cosine_topk_lsh(
     min_sim: float | None = None,
     exclude_self: bool = True,
     max_bucket: int | None = None,
+    rerank: str = "bucket",
 ) -> DataFrame:
     """APPROXIMATE top-k cosine via sign-random-projection LSH.
 
@@ -427,7 +438,25 @@ def cosine_topk_lsh(
     tool/Neo4jLouvainProcessor.py:109-153). Deterministic (md5-seeded
     planes) and, at max_bucket=None, fully SQL-expressible — the driver
     oracle replays it verbatim.
+
+    rerank picks where the exact dot runs; both produce IDENTICAL rows:
+    - 'bucket' (default): vectors ride the bucket join (once per table
+      per vector) and pairs are scored inside it, so the only pair-wide
+      exchange is the narrow (query_id, item_id, sim) dedup groupBy.
+      Pair-shuffle bytes: ~24·|cand| + n_tables·(|Q|+|I|)·dim_bytes.
+      The scale default: on clustered/near-dup corpora candidates per
+      query ≫ 2·n_tables, and the r5 10× advisory measured the rejoin
+      form at ~130 GB of shuffle for 600k clustered 64-dim vectors
+      (killed two hosts' tmpfs) vs ~4 GB for this form. A pair co-
+      bucketed in t tables is dotted t times (JVM codegen flops —
+      cheap) and deduped by max.
+    - 'rejoin': bucket join and dedup move only (bucket, id) pairs and
+      vectors rejoin once per UNIQUE candidate. Wins only when
+      candidates per query < 2·n_tables (highly selective setups with
+      very wide vectors, e.g. 1024-dim at n_planes ≥ 16).
     """
+    if rerank not in ("bucket", "rejoin"):
+        raise ValueError("rerank must be 'bucket' or 'rejoin'")
     planes = rademacher_planes(dim, n_planes, n_tables, seed)
     # snapshot both sides (eager localCheckpoint): each is consumed twice —
     # once by the bucketing branch, once by the scoring rejoin — and
@@ -439,14 +468,49 @@ def cosine_topk_lsh(
     i = items.select(
         F.col(i_id).alias("item_id"), F.col(i_vec).alias("_iv")
     ).localCheckpoint(eager=True)
-    cand = _lsh_candidates(q, i, planes, n_tables, exclude_self, max_bucket)
-    scored = (
-        cand.join(q, "query_id")
-        .join(i, "item_id")
-        .select("query_id", "item_id", dot_col(F.col("_qv"), F.col("_iv")).alias("sim"))
-    )
-    if min_sim is not None:
-        scored = scored.where(F.col("sim") >= min_sim)
+    if rerank == "bucket":
+        qb = q.select(
+            "query_id",
+            "_qv",
+            F.explode(
+                F.array(
+                    *[_bucket_expr(F.col("_qv"), planes[t], t) for t in range(n_tables)]
+                )
+            ).alias("bucket"),
+        )
+        ib = i.select(
+            "item_id",
+            "_iv",
+            F.explode(
+                F.array(
+                    *[_bucket_expr(F.col("_iv"), planes[t], t) for t in range(n_tables)]
+                )
+            ).alias("bucket"),
+        )
+        if max_bucket is not None:
+            ib = _cap_items(ib, max_bucket)
+        pair = qb.join(ib, "bucket")
+        if exclude_self:
+            pair = pair.where(F.col("query_id") != F.col("item_id"))
+        pair = pair.select(
+            "query_id", "item_id", dot_col(F.col("_qv"), F.col("_iv")).alias("sim")
+        )
+        if min_sim is not None:
+            pair = pair.where(F.col("sim") >= min_sim)
+        # same pair from multiple tables: sims are identical (same two
+        # vectors), max() is the dedup
+        scored = pair.groupBy("query_id", "item_id").agg(F.max("sim").alias("sim"))
+    else:
+        cand = _lsh_candidates(q, i, planes, n_tables, exclude_self, max_bucket)
+        scored = (
+            cand.join(q, "query_id")
+            .join(i, "item_id")
+            .select(
+                "query_id", "item_id", dot_col(F.col("_qv"), F.col("_iv")).alias("sim")
+            )
+        )
+        if min_sim is not None:
+            scored = scored.where(F.col("sim") >= min_sim)
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("item_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 

@@ -272,3 +272,32 @@ def test_ivf_topk_clustered_recall(spark):
         16, n_lists=16, i_vec="_iv", i_id="item_id",
     )
     assert c1 == c2, "IVF training must be deterministic"
+
+
+def test_lsh_rerank_modes_identical(spark):
+    """'bucket' (scale default: score inside the bucket join, dedup by
+    max) and 'rejoin' (bare-id exchanges, vectors rejoin once) must
+    return byte-identical rows — with and without the hot-cell cap."""
+    import numpy as np
+
+    from louvain_spark.operators.similarity import cosine_topk_lsh
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(6, 16))
+    rows = []
+    for i in range(150):
+        v = base[i % 6] + 0.05 * rng.normal(size=16)
+        v = v / np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    for cap in (None, 8):
+        got = {}
+        for mode in ("bucket", "rejoin"):
+            got[mode] = sorted(
+                (r["query_id"], r["item_id"], r["rank"], round(r["sim"], 9))
+                for r in cosine_topk_lsh(
+                    spark, df, df, k=5, dim=16, n_planes=6, n_tables=3,
+                    max_bucket=cap, rerank=mode,
+                ).collect()
+            )
+        assert got["bucket"] == got["rejoin"], f"cap={cap}"
