@@ -106,9 +106,12 @@ def test_dense_sorted_rank_matches_global_sort_and_stays_partitioned(spark):
 
 
 def test_lsh_ann_dedup_exchange_carries_only_ids(spark):
-    """VERDICT r2 #4: the LSH candidate dedup must shuffle bare id pairs —
-    at 1024-dim embeddings, carrying vectors through the distinct would
-    move ~8KB/row; vectors must rejoin only for scoring."""
+    """VERDICT r2 #4, generalized for the r5 bucket-local default: NO
+    pair-wide exchange may carry the vectors — at 1024-dim embeddings
+    that would move ~8KB per candidate row (the exact shuffle explosion
+    the r5 10x advisory caught, BENCH/ann_10x_advisory.md). rejoin mode
+    dedups bare id pairs (2 columns); bucket mode's pair-wide exchange is
+    the sim dedup groupBy (ids + one 8-byte partial max)."""
     from louvain_spark.operators.similarity import cosine_topk_lsh
 
     emb = load(spark, SF, "embeddings")
@@ -117,21 +120,23 @@ def test_lsh_ann_dedup_exchange_carries_only_ids(spark):
         F.col("vec_id").alias("id"),
         F.transform("embedding", lambda x: x / norm).alias("vec"),
     )
-    top = cosine_topk_lsh(
-        spark, unit.where(F.col("id") < 20), unit, k=5, dim=64, n_planes=6, n_tables=3
-    )
-    plan = _plan(top)
-    dedup_exchanges = [
-        b
-        for b in re.split(r"\n(?=\(\d+\) )", plan)
-        if b.split("\n")[0].endswith("Exchange")
-        and re.search(r"hashpartitioning\(query_id#\d+L, item_id#\d+L", b)
-    ]
-    assert dedup_exchanges, plan
-    for b in dedup_exchanges:
-        m = re.search(r"Input \[(\d+)\]: \[([^\]]*)\]", b)
-        assert m and m.group(1) == "2", b
-        assert "_qv" not in b and "_iv" not in b, b
+    for mode, max_cols in (("rejoin", "2"), ("bucket", "3")):
+        top = cosine_topk_lsh(
+            spark, unit.where(F.col("id") < 20), unit, k=5, dim=64,
+            n_planes=6, n_tables=3, rerank=mode,
+        )
+        plan = _plan(top)
+        dedup_exchanges = [
+            b
+            for b in re.split(r"\n(?=\(\d+\) )", plan)
+            if b.split("\n")[0].endswith("Exchange")
+            and re.search(r"hashpartitioning\(query_id#\d+L, item_id#\d+L", b)
+        ]
+        assert dedup_exchanges, (mode, plan)
+        for b in dedup_exchanges:
+            m = re.search(r"Input \[(\d+)\]: \[([^\]]*)\]", b)
+            assert m and int(m.group(1)) <= int(max_cols), (mode, b)
+            assert "_qv" not in b and "_iv" not in b, (mode, b)
 
 
 def test_events_vertices_plan_has_no_single_partition_window(spark):
