@@ -1139,8 +1139,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         cum AS (
           SELECT doc_id, substr(k, 1, 1) AS shard, n_tokens,
-            sum(n_tokens) OVER (PARTITION BY substr(k, 1, 1)
-              ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING) - n_tokens
+            -- DuckDB's integer window sum() returns HUGEINT, which fetchdf()
+            -- delivers as float64 and the driver hash then renders as
+            -- '10.0' vs Spark's int64 '10' (r5 VERDICT #1) — cast to BIGINT
+            -- exactly as pack_id below already does.
+            (sum(n_tokens) OVER (PARTITION BY substr(k, 1, 1)
+              ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING))::BIGINT - n_tokens
               AS "offset"
           FROM base
         )

@@ -16,6 +16,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
+def dtype_mismatches(sdf, odf) -> list[str]:
+    """Columns fetched as integer on one side and float on the other.
+
+    This is exactly the drift class the r5 driver gate caught and this
+    replica missed: DuckDB's integer window ``sum()`` returns HUGEINT,
+    which ``fetchdf()`` delivers as float64, while Spark emits int64 —
+    the values are equal but the driver's hash renders '10.0' vs '10'.
+    ``value_hash`` normalizes floats to 6 sig digits, so 10.0 and 10
+    collide locally and the replica stayed green. Comparing the fetched
+    dtype KINDS closes the blindspot. A float column that contains NaN is
+    skipped: pandas upcasts nullable integer columns to float64 on BOTH
+    fetch paths, so an int-vs-NaN-float pair is fetch-layer ambiguity,
+    not an oracle type defect.
+    """
+    bad = []
+    for c in sorted(set(sdf.columns) & set(odf.columns)):
+        kinds = {sdf[c].dtype.kind, odf[c].dtype.kind}
+        if kinds in ({"i", "f"}, {"u", "f"}):
+            flt = sdf[c] if sdf[c].dtype.kind == "f" else odf[c]
+            if not flt.isna().any():
+                bad.append(c)
+    return bad
+
+
 def value_hash(df) -> str:
     """Order-insensitive hash: sort columns by name, stringify rows with
     6-sig-digit float normalization, sort, sha256."""
@@ -68,15 +92,18 @@ def main() -> None:
             continue
         odf = con.execute(oracles[name]).fetchdf()
         h_s, h_o = value_hash(sdf), value_hash(odf)
+        dtype_bad = dtype_mismatches(sdf, odf)
         ok = (
             len(sdf) == len(odf)
             and sorted(sdf.columns) == sorted(odf.columns)
             and h_s == h_o
+            and not dtype_bad
         )
         status = "OK " if ok else "FAIL"
         print(
             f"{status} {name}: spark_rows={len(sdf)} oracle_rows={len(odf)} "
             f"hash {h_s} vs {h_o} cols {sorted(sdf.columns)} vs {sorted(odf.columns)}"
+            + (f" DTYPE-DRIFT {dtype_bad}" if dtype_bad else "")
         )
         failures += 0 if ok else 1
     spark.stop()
