@@ -1113,15 +1113,26 @@ def oracle_sql() -> dict[str, str]:
             array_to_string(list_slice(ts, i + 1, i + 8), ' ') AS shingle
           FROM toks, UNNEST(range(0, greatest(len(ts) - 8, 0) + 1)) AS t(i)
         ),
-        tr AS (SELECT DISTINCT shingle FROM sh WHERE is_train),
-        te AS (SELECT doc_id, shingle FROM sh WHERE NOT is_train),
+        tr AS (SELECT DISTINCT shingle FROM sh
+               WHERE is_train AND shingle IS NOT NULL AND shingle <> ''),
+        te AS (SELECT doc_id, shingle FROM sh
+               WHERE NOT is_train AND shingle IS NOT NULL AND shingle <> ''),
+        alldocs AS (SELECT doc_id FROM lab WHERE NOT is_train),
         sizes AS (SELECT doc_id, count(*) AS n_shingles FROM te GROUP BY doc_id),
         hits AS (SELECT doc_id, count(*) AS n_hit
                  FROM te JOIN tr USING (shingle) GROUP BY doc_id)
-        SELECT s.doc_id, s.n_shingles, coalesce(h.n_hit, 0) AS n_hit,
-          round(coalesce(h.n_hit, 0)::DOUBLE / s.n_shingles, 6) AS frac_r6,
-          coalesce(h.n_hit, 0)::DOUBLE / s.n_shingles >= 0.5 AS contaminated
-        FROM sizes s LEFT JOIN hits h USING (doc_id)
+        -- left-join from ALL holdout docs: zero-shingle (null-text) docs
+        -- appear with n_shingles=0 / frac null / contaminated=false,
+        -- matching ngram_contamination's audit-completeness contract
+        SELECT d.doc_id, coalesce(s.n_shingles, 0) AS n_shingles,
+          coalesce(h.n_hit, 0) AS n_hit,
+          CASE WHEN coalesce(s.n_shingles, 0) = 0 THEN NULL
+               ELSE round(coalesce(h.n_hit, 0)::DOUBLE / s.n_shingles, 6)
+          END AS frac_r6,
+          coalesce(coalesce(h.n_hit, 0)::DOUBLE / s.n_shingles >= 0.5, false)
+            AS contaminated
+        FROM alldocs d LEFT JOIN sizes s USING (doc_id)
+          LEFT JOIN hits h USING (doc_id)
         """,
         "corpus_stats_docs": """
         SELECT lang, count(*) AS n_docs,

@@ -527,7 +527,9 @@ def scaling(sf_dir: str) -> None:
             fs, fb = prior["floors"]
             if fs["extra"]["cpus"] == n and fb["extra"]["cpus"] == n4:
                 floor_s, floor_b = fs, fb
-        except (OSError, KeyError, ValueError):
+        except (OSError, KeyError, ValueError, TypeError, AttributeError):
+            # old-format (list) or malformed attempts file: fall back to
+            # fresh floors rather than crashing the scaling run
             pass
     if floor_s is None:
         floor_s = run_subprocess(sf_dir, n, preset="tiny", mem=f"{mem_per_core * n}g")
@@ -623,7 +625,8 @@ def scaling(sf_dir: str) -> None:
                     and set(pa[0]["queries"]) >= set(STAGES + ANN_STAGES)
                 ):
                     attempts.append((pa[0], pa[1]))
-        except (OSError, KeyError, ValueError, IndexError):
+        except (OSError, KeyError, ValueError, IndexError, TypeError, AttributeError):
+            # old-format (list) attempts file has no .get/'floors' — skip merge
             pass
     # persist raw attempts so a later session can re-measure one level and
     # merge per-stage minima instead of repeating the full (slow) pair

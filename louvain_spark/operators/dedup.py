@@ -459,6 +459,12 @@ def ngram_contamination(
     the train/eval decontamination check of an LLM data pipeline: which
     held-out documents share word n-grams with the training corpus.
 
+    EVERY test doc appears in the output, including those whose
+    normalized text yields zero shingles (null text): such degenerate
+    rows come back with n_shingles=0, n_hit=0, frac_r6=null,
+    contaminated=false, so a decontamination audit can flag rather than
+    silently skip them (r5 ADVICE).
+
     The train side collapses to a DISTINCT shingle set before the join,
     so each test shingle matches at most one row — no join fan-out and no
     hot-key blow-up no matter how frequent a boilerplate n-gram is in
@@ -472,18 +478,30 @@ def ngram_contamination(
     Composes with hash_split (leakage audit of a proposed split) or any
     external eval set sharing (id_col, text_col).
     """
-    tr = shingles(train, id_col, text_col, n).select("shingle").distinct()
-    te = shingles(test, id_col, text_col, n)
+    # a null-text doc emits one NULL shingle and a whitespace-only doc one
+    # empty shingle (split/slice semantics) — both are phantoms, not
+    # n-grams; drop them so such docs count as zero-shingle
+    real = F.col("shingle").isNotNull() & (F.col("shingle") != "")
+    tr = shingles(train, id_col, text_col, n).where(real).select("shingle").distinct()
+    te = shingles(test, id_col, text_col, n).where(real)
+    all_docs = test.select(F.col(id_col).alias("doc_id")).distinct()
     sizes = te.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     hits = te.join(tr, "shingle").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_hit")
     )
+    n_sh = F.coalesce(F.col("n_shingles"), F.lit(0))
     n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
-    frac = n_hit / F.col("n_shingles")
-    return sizes.join(hits, "doc_id", "left").select(
-        "doc_id",
-        "n_shingles",
-        n_hit.alias("n_hit"),
-        F.round(frac, 6).alias("frac_r6"),
-        (frac >= threshold).alias("contaminated"),
+    # try_divide, not /: ANSI mode raises on the n_shingles=0 rows this
+    # left join deliberately keeps
+    frac = F.try_divide(n_hit, n_sh)
+    return (
+        all_docs.join(sizes, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_sh.alias("n_shingles"),
+            n_hit.alias("n_hit"),
+            F.round(frac, 6).alias("frac_r6"),
+            F.coalesce(frac >= threshold, F.lit(False)).alias("contaminated"),
+        )
     )

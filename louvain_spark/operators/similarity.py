@@ -674,9 +674,18 @@ def cosine_topk_ivf(
     # duplicate pairs, so no dedup shuffle is needed.
     assign1 = _ivf_assign_udf(centroids, 1)
     assign_p = _ivf_assign_udf(centroids, n_probe)
-    n_i = i.count()
-    n_chunks = max(1, math.ceil(n_i / (max(1, len(centroids)) * item_block_rows)))
-    ix = i.withColumn("list_id", F.element_at(assign1(F.col("_iv")), 1)).withColumn(
+    ix0 = i.withColumn("list_id", F.element_at(assign1(F.col("_iv")), 1))
+    # n_chunks from the MAX observed list size (one extra n_lists-row
+    # aggregation over the checkpointed items), not the average: under
+    # list skew the average puts a hot list — potentially a large corpus
+    # fraction — into a single Arrow cell / single task (r5 ADVICE).
+    # With the max, every list's per-cell item count is bounded at
+    # ~item_block_rows by the hash chunking below.
+    max_list = (
+        ix0.groupBy("list_id").count().agg(F.max("count").alias("m")).collect()[0]["m"]
+    )
+    n_chunks = max(1, math.ceil((max_list or 0) / item_block_rows))
+    ix = ix0.withColumn(
         "_chunk", F.pmod(F.xxhash64("item_id"), F.lit(n_chunks)).cast("int")
     )
     qx = q.withColumn("list_id", F.explode(assign_p(F.col("_qv")))).withColumn(

@@ -68,6 +68,14 @@ def _sweep_orphaned_local_dirs() -> None:
     OOM-killed at launch). Sweeping is exactly safe when no JVM is alive:
     every entry is orphaned by definition. With any java process running
     we cannot attribute dirs to owners, so do nothing.
+
+    Only entries Spark itself creates (``spark-*``, ``blockmgr-*``) are
+    deleted, so pointing SPARK_GRAFT_LOCAL_DIR at a shared directory
+    (e.g. /tmp, which DEFAULT_CONF falls back to) can never destroy
+    unrelated files; that prefix restriction also bounds the blast radius
+    of the inherent check-then-delete race. JVM liveness is checked both
+    by binary name and by command line (``org.apache.spark``) so a JVM
+    launched under a non-``java`` binary name still suppresses the sweep.
     """
     base = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
     if not os.path.isdir(base):
@@ -76,12 +84,12 @@ def _sweep_orphaned_local_dirs() -> None:
     import subprocess
 
     try:
-        if subprocess.run(
-            ["pgrep", "-x", "java"], capture_output=True
-        ).returncode == 0:
-            return  # a live JVM may own some of these dirs
+        for probe in (["pgrep", "-x", "java"], ["pgrep", "-f", "org.apache.spark"]):
+            if subprocess.run(probe, capture_output=True).returncode == 0:
+                return  # a live JVM may own some of these dirs
         for name in os.listdir(base):
-            shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+            if name.startswith(("spark-", "blockmgr-")):
+                shutil.rmtree(os.path.join(base, name), ignore_errors=True)
     except OSError:
         pass
 

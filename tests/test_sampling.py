@@ -114,6 +114,31 @@ def test_ngram_contamination_vs_python(spark):
         assert got[doc_id] == (len(s), hit, hit / len(s) >= 0.5), doc_id
 
 
+def test_ngram_contamination_keeps_zero_shingle_docs(spark):
+    """Null-text test docs yield zero shingles but must still appear in
+    the audit output (n_shingles=0, frac null, contaminated=false) —
+    silently dropping the degenerate docs is exactly what an auditor
+    would want flagged (r5 ADVICE)."""
+    from louvain_spark.operators.dedup import ngram_contamination
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    test = spark.createDataFrame(
+        [(10, "alpha beta gamma delta"), (11, None)], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in ngram_contamination(train, test, n=3, threshold=0.5).collect()
+    }
+    assert set(rows) == {10, 11}
+    r = rows[11]
+    assert r["n_shingles"] == 0 and r["n_hit"] == 0
+    assert r["frac_r6"] is None
+    assert r["contaminated"] is False
+    assert rows[10]["contaminated"] is True
+
+
 def test_corpus_stats_approx_close_to_exact(spark):
     """The sketch mode (the 100 TB path) stays within its documented rank
     error of exact quantiles on a skewed value distribution."""
