@@ -89,10 +89,28 @@ def entity_vertices(mem: DataFrame, rank_partitions: int = 64) -> DataFrame:
     )
 
 
-def _with_ids(mem: DataFrame, vertices: DataFrame) -> DataFrame:
-    """Attach vertex ids to membership rows (broadcast dictionary join)."""
-    dict_df = F.broadcast(vertices.select(F.col("name").alias("entity"), "id", F.col("vtype")))
-    return mem.join(dict_df, "entity")
+def _with_ids(
+    mem: DataFrame, vertices: DataFrame, broadcast_nodes: int = 4_000_000
+) -> DataFrame:
+    """Attach vertex ids to membership rows via the entity dictionary.
+
+    The dictionary is O(|entities|), which includes one conv: entity per
+    conversation — broadcastable at test scale but ~10^10 rows at the
+    10^12-turn design point, far past any broadcast. Same count-gated
+    auto-choice as typed_edges/pagerank/lpa/louvain dimension joins:
+    broadcast below broadcast_nodes rows, shuffled-hash join on entity
+    name above it (hash, not sort-merge: the dictionary side skips the
+    sort and the membership side is orders of magnitude larger; entity
+    names hash uniformly). vertices from entity_vertices is already
+    localCheckpointed (plans/rank.py), so the gate's count() reads
+    checkpoint blocks — no lineage re-execution.
+    """
+    d = vertices.select(F.col("name").alias("entity"), "id", F.col("vtype"))
+    if vertices.count() <= broadcast_nodes:
+        d = F.broadcast(d)
+    else:
+        d = d.hint("shuffle_hash")
+    return mem.join(d, "entity")
 
 
 def cooccurrence_edges(

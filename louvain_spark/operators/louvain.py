@@ -48,8 +48,12 @@ import os
 import pandas as pd
 
 _DBG = bool(os.environ.get("LOUVAIN_DEBUG"))
+
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+
+# dimension-table broadcast gate for _renumber (tests monkeypatch it)
+_RENUMBER_BROADCAST_LIMIT = 4_000_000
 
 from louvain_spark.operators._louvain_kernel import (
     MIN_GAIN,
@@ -105,7 +109,14 @@ def _renumber(assign: DataFrame) -> DataFrame:
 
     reps = assign.groupBy("community").agg(F.min("id").alias("_rep"))
     remap = dense_sorted_rank(reps, "_rep", id_col="_new").select("community", "_new")
-    return assign.join(F.broadcast(remap), "community").select(
+    # remap is |communities|-sized — at level 0 of a big graph worst-case
+    # O(|V|), so the broadcast is count-gated like every other dimension
+    # join (the count reads dense_sorted_rank's checkpoint blocks)
+    if remap.count() <= _RENUMBER_BROADCAST_LIMIT:
+        remap = F.broadcast(remap)
+    else:
+        remap = remap.hint("shuffle_hash")
+    return assign.join(remap, "community").select(
         "id", F.col("_new").alias("community")
     )
 
