@@ -428,6 +428,57 @@ def q_pack_documents_docs(spark, sf_dir):
     )
 
 
+def q_stream_dedup_docs(spark, sf_dir):
+    """Compaction-equivalence of the STREAMING exact-dedup ingest
+    (r5 VERDICT #8): stream the documents table through
+    stream_dedup_docs (dropDuplicatesWithinWatermark on the normalized-
+    text digest, availableNow), batch-compact the accumulated store with
+    exact_duplicates keeping canonical rows, and return per-digest
+    (digest, one store row, corpus duplicate count).
+
+    Which doc_id survives inside the stream's horizon is arrival-order-
+    dependent by stream semantics (the compaction canonicalizes only
+    among STORE rows), so the deterministic — and driver-hashable —
+    projection is digest-level: the compacted store must hold EXACTLY
+    one row per distinct corpus digest, and joining back to the corpus
+    recovers each digest's duplicate count. The oracle is the plain
+    batch GROUP BY — equivalence of the streamed+compacted store with
+    batch dedup is exactly the operator's contract.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    from louvain_spark.operators.dedup import exact_duplicates, normalize_text
+    from louvain_spark.streaming.ingest import stream_dedup_docs
+
+    work = tempfile.mkdtemp(prefix="stream-dedup-q-", dir="/dev/shm" if Path("/dev/shm").is_dir() else None)
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    inp = f"{work}/in"
+    Path(inp).mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", f"{inp}/documents.parquet")
+    q = stream_dedup_docs(
+        spark, inp, f"{work}/out", f"{work}/ckpt", available_now=True
+    )
+    q.awaitTermination()
+    store = spark.read.parquet(f"{work}/out")
+    dupes = exact_duplicates(store)  # only group_size>=2 digests appear
+    compact = store.join(
+        dupes.where(~F.col("is_canonical")).select("doc_id"), "doc_id", "left_anti"
+    )
+    corpus_counts = (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.md5(normalize_text(F.col("text"))).alias("digest"))
+        .agg(F.count(F.lit(1)).alias("corpus_cnt"))
+    )
+    return (
+        compact.groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("store_rows"))
+        .join(corpus_counts, "digest")
+        .select("digest", "store_rows", "corpus_cnt")
+    )
+
+
 def q_token_stats_docs(spark, sf_dir):
     from louvain_spark.operators.textstats import bpe_token_count, token_count
 
@@ -628,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_docs": q_contamination_docs,
         "corpus_stats_docs": q_corpus_stats_docs,
         "pack_documents_docs": q_pack_documents_docs,
+        "stream_dedup_docs": q_stream_dedup_docs,
         "token_stats_docs": q_token_stats_docs,
         "quality_scores_docs": q_quality_docs,
         "language_id_docs": q_language_id_docs,
@@ -1162,6 +1214,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, shard, n_tokens, "offset",
                floor("offset" / 256.0)::BIGINT AS pack_id
         FROM cum
+        """,
+        # stream_dedup_docs: the streamed-and-compacted store must equal
+        # batch dedup at digest granularity — exactly one store row per
+        # distinct corpus digest, with the corpus duplicate count joined
+        # back (doc_id-level survival is arrival-order-dependent stream
+        # semantics, deliberately excluded from the hash)
+        "stream_dedup_docs": f"""
+        SELECT md5({_NORM_TEXT}) AS digest, 1::BIGINT AS store_rows,
+               count(*) AS corpus_cnt
+        FROM documents GROUP BY 1
         """,
         "token_stats_docs": f"""
         SELECT doc_id, len({_TOKENS}) AS n_tokens,

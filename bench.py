@@ -222,7 +222,10 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     # docs sit in ~n/40 near-dup families (family text + one per-doc
     # token), 20% unique — so the LSH band join has real matches. All
     # JVM-side expressions, staged through parquet like the vectors.
-    n_docs = {"scale": 60000, "scale4": 150000}.get(preset)
+    # sf1 gets a 10x-of-bench synthesized corpus so the curation/dedup
+    # stages have a meaningful advisory leg (the sf_dir docs table is a
+    # fixed 5k rows)
+    n_docs = {"scale": 60000, "scale4": 150000, "sf1": 50000}.get(preset)
     if n_docs:
         fam = F.when(
             F.col("id") < int(n_docs * 0.8), F.pmod("id", F.lit(n_docs // 40))
@@ -249,6 +252,40 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     extra["minhash_docs"] = docs.count()
     with timed("minhash_lsh"):
         minhash_lsh_pairs(docs, num_hashes=16, bands=4, n=3).count()
+
+    # --- curation family: the end-to-end actions a training pipeline runs
+    # over the FULL corpus (r5 VERDICT #5 — driver-oracled at sf0.01 but
+    # previously benchless). Same docs frame as minhash_lsh.
+    from louvain_spark.operators.dedup import near_dup_clusters, ngram_contamination
+    from louvain_spark.operators.sampling import (
+        hash_split,
+        pack_documents,
+        stratified_sample,
+    )
+
+    with timed("near_dup_clusters"):
+        nd = near_dup_clusters(
+            spark, minhash_lsh_pairs(docs, num_hashes=16, bands=4, n=3)
+        )
+        extra["near_dup_docs"] = nd.count()
+    with timed("contamination"):
+        lab = hash_split(docs, "doc_id")
+        ngram_contamination(
+            lab.where(F.col("split") == "train"),
+            lab.where(F.col("split") == "holdout"),
+            n=8,
+            threshold=0.5,
+        ).count()
+    with timed("pack_documents"):
+        # aggregate over the window outputs so column pruning cannot elide
+        # the per-shard running sum a bare count() would allow
+        pack_documents(docs, budget=512, shard_chars=2).agg(
+            F.sum("offset"), F.max("pack_id")
+        ).collect()
+    with timed("stratified_sample"):
+        grp = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+        stratified_sample(docs.withColumn("_grp", grp), "_grp", 50, "doc_id").count()
+
     emb = load(spark, sf_dir, "embeddings")
     with timed("ann_topk"):
         norm = F.sqrt(F.aggregate(F.col("embedding"), F.lit(0.0), lambda a, x: a + x * x))
@@ -422,6 +459,12 @@ STAGES = ("induce_edges", "connected_components", "pagerank_10it", "louvain_para
 # contention predicate — their bucketed/capped profiles can be
 # legitimately floor-heavy and a legitimate <2 would loop the retry.
 ANN_STAGES = ("minhash_lsh", "lsh_ann_topk", "ivf_ann_topk")
+# curation-family stages (r5 VERDICT #5): measured in the same N->4N
+# pair/floor framework as the ANN stages, excluded from the speedup<2
+# contention predicate for the same reason
+CURATION_STAGES = (
+    "near_dup_clusters", "contamination", "pack_documents", "stratified_sample",
+)
 
 # Quiet-host bands for the recorded run (max of pre/post, ms). From the
 # r2-r4 measurement history on this shared VM: serial nominal ~300-380
@@ -444,13 +487,23 @@ def sentinels_in_band(res: dict) -> tuple[bool, str]:
     )
 
 
-def record(sf_dir: str, cpus: int, max_attempts: int = 3) -> dict:
-    """Sentinel-gated recorded run (r4 VERDICT 'what's wrong' #1): rerun
-    in a fresh JVM until both host-noise sentinels are inside the quiet
-    band, so the committed artifact is comparable across rounds by
-    construction. If every attempt is contended, the fastest one is
-    reported with an explicit out-of-band note instead of failing — the
-    driver contract requires one JSON line either way."""
+def record(sf_dir: str, cpus: int, max_attempts: int = 4) -> dict:
+    """Sentinel-gated recorded run, committed as PER-STAGE MINIMA across
+    at least two in-band fresh-JVM runs (r5 VERDICT #7).
+
+    A single in-band run can still hide a 40% stage swing inside the
+    quiet band (r5's committed louvain read 60.0s against three same-
+    night quiet runs of 38.9-47.4s). The per-stage minimum over >=2
+    independent in-band JVMs is the best noise floor this shared VM
+    allows — a stage's true wall is its fastest contention-free
+    observation. The artifact keeps every attempt's per-stage timings
+    and sentinels in extra['attempts'] so a reader can audit the spread.
+
+    Degraded modes (the driver contract requires one JSON line): one
+    in-band run → report it with a note; zero → fastest attempt with
+    the existing out-of-band note.
+    """
+    inband: list[dict] = []
     best = None
     for attempt in range(1, max_attempts + 1):
         res = run_subprocess(sf_dir, cpus)
@@ -461,20 +514,63 @@ def record(sf_dir: str, cpus: int, max_attempts: int = 3) -> dict:
         )
         res["extra"]["sentinel_in_band"] = ok
         res["extra"]["sentinel_attempt"] = attempt
-        if ok:
-            return res
-        print(
-            f"[bench] attempt {attempt}/{max_attempts} sentinel out of band "
-            f"({desc}) — retrying in a fresh JVM",
-            file=sys.stderr,
-        )
         if best is None or res["value"] < best["value"]:
             best = res
-    best["extra"]["sentinel_note"] = (
-        f"all {max_attempts} attempts out of band; reporting the fastest — "
-        "absolute times are inflated by host contention"
-    )
-    return best
+        if ok:
+            inband.append(res)
+            if len(inband) >= 2:
+                break
+        else:
+            print(
+                f"[bench] attempt {attempt}/{max_attempts} sentinel out of "
+                f"band ({desc}) — retrying in a fresh JVM",
+                file=sys.stderr,
+            )
+
+    def attempt_digest(r: dict) -> dict:
+        e = r["extra"]
+        return {
+            "queries": r["queries"],
+            "total": r["value"],
+            "sentinel_in_band": e["sentinel_in_band"],
+            "serial_ms": round(
+                max(e["host_sentinel_pre_ms"], e["host_sentinel_post_ms"]), 1
+            ),
+            "par16_ms": round(
+                max(e["host_sentinel_par16_pre_ms"], e["host_sentinel_par16_post_ms"]), 1
+            ),
+        }
+
+    if not inband:
+        best["extra"]["sentinel_note"] = (
+            f"all {max_attempts} attempts out of band; reporting the fastest — "
+            "absolute times are inflated by host contention"
+        )
+        return best
+    base = min(inband, key=lambda r: r["value"])
+    if len(inband) == 1:
+        base["extra"]["sentinel_note"] = (
+            "only one in-band attempt — single-run stage times, not minima"
+        )
+        base["extra"]["attempts"] = [attempt_digest(base)]
+        return base
+    # per-stage minima across the in-band set
+    mins = {
+        k: min(r["queries"][k] for r in inband) for k in base["queries"]
+    }
+    base["queries"] = mins
+    base["value"] = round(sum(mins.values()), 3)
+    e = base["extra"]
+    e["attempts"] = [attempt_digest(r) for r in inband]
+    e["stage_times_are"] = f"per-stage minima over {len(inband)} in-band fresh-JVM runs"
+    # rates derived from stage walls must match the committed walls
+    if "edges" in e and "induce_edges" in mins:
+        e["edges_per_sec"] = round(e["edges"] / max(mins["induce_edges"], 1e-9), 1)
+    if "edges" in e and "louvain_parallel" in mins:
+        e["louvain_edges_per_sec"] = round(
+            e["edges"] / max(mins["louvain_parallel"], 1e-9), 1
+        )
+    return base
 
 
 def scaling(sf_dir: str) -> None:
@@ -622,7 +718,7 @@ def scaling(sf_dir: str) -> None:
                 if (
                     pa[0]["extra"]["cpus"] == n
                     and pa[1]["extra"]["cpus"] == n4
-                    and set(pa[0]["queries"]) >= set(STAGES + ANN_STAGES)
+                    and set(pa[0]["queries"]) >= set(STAGES + ANN_STAGES + CURATION_STAGES)
                 ):
                     attempts.append((pa[0], pa[1]))
         except (OSError, KeyError, ValueError, IndexError, TypeError, AttributeError):
@@ -641,7 +737,7 @@ def scaling(sf_dir: str) -> None:
     rows = []
     effs = {}
     weffs = {}
-    for key in STAGES + ANN_STAGES:
+    for key in STAGES + ANN_STAGES + CURATION_STAGES:
         t_s, t_b = best(0, key), best(1, key)
         f_s = floor_s["queries"][key]
         f_b = floor_b["queries"][key]
