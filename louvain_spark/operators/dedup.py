@@ -136,6 +136,71 @@ def minhash_signatures(
     return mins
 
 
+def _minhash_buckets(
+    docs: DataFrame,
+    num_hashes: int,
+    bands: int,
+    id_col: str,
+    text_col: str,
+    n: int,
+) -> DataFrame:
+    """(doc_id, bucket) — banded MinHash band-bucket membership, the
+    shared substrate of minhash_lsh_pairs and lsh_cluster_edges."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, id_col, text_col, n)
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
+        ).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select("doc_id", *band_cols)
+    return banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.concat(F.lit(f"{b}:"), F.col(f"b{b}")) for b in range(bands)])
+        ).alias("bucket"),
+    )
+
+
+def lsh_cluster_edges(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(src, dst) — a connectivity-EQUIVALENT edge set for transitive
+    near-dup clustering: per band bucket, a star from the bucket's min
+    doc_id to every other member.
+
+    Two docs share a bucket iff they are connected through that bucket's
+    star root, so connected components over these edges are IDENTICAL to
+    components over minhash_lsh_pairs' all-pairs output — but the edge
+    count is O(Σ bucket_size) instead of O(Σ bucket_size²). At the
+    advisory's hot-family shape (1.5M docs, 320-doc near-dup families)
+    the all-pairs form materializes 191M candidate pairs where this form
+    emits <5M star edges — the difference between a dedup clustering
+    pass that needs 3g/core and one that runs in the default footprint
+    (BENCH/dedup_10x_advisory.md).
+
+    ONLY valid when candidates feed transitive clustering unverified
+    (near_dup_clusters). Per-pair verification (verify_threshold /
+    jaccard re-check) needs the real pairs: a verified star edge says
+    nothing about non-root member pairs, so use minhash_lsh_pairs there.
+    """
+    bucket = _minhash_buckets(docs, num_hashes, bands, id_col, text_col, n)
+    roots = bucket.groupBy("bucket").agg(F.min("doc_id").alias("src"))
+    return (
+        bucket.join(roots, "bucket")
+        .where(F.col("doc_id") != F.col("src"))
+        .select("src", F.col("doc_id").alias("dst"))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     num_hashes: int = 16,
@@ -152,22 +217,7 @@ def minhash_lsh_pairs(
     pair. verify_threshold, if set, re-checks candidates with exact
     shingle Jaccard and filters.
     """
-    assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, id_col, text_col, n)
-    band_cols = [
-        F.md5(
-            F.concat_ws("|", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
-        ).alias(f"b{b}")
-        for b in range(bands)
-    ]
-    banded = sigs.select("doc_id", *band_cols)
-    bucket = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(*[F.concat(F.lit(f"{b}:"), F.col(f"b{b}")) for b in range(bands)])
-        ).alias("bucket"),
-    )
+    bucket = _minhash_buckets(docs, num_hashes, bands, id_col, text_col, n)
     a = bucket.withColumnRenamed("doc_id", "src")
     b = bucket.withColumnRenamed("doc_id", "dst")
     pairs = (

@@ -271,3 +271,34 @@ def test_near_dup_clusters_transitive_canonical(spark):
         50: (50, 2, True),
         60: (50, 2, False),
     }
+
+
+def test_lsh_cluster_edges_connectivity_equivalent(spark):
+    """Per-bucket star edges must yield IDENTICAL near-dup clusters to
+    the all-pairs candidate output — the O(bucket) vs O(bucket²) scale
+    path for unverified transitive clustering (two docs share a bucket
+    iff both connect to its star root). Clustered corpus with two
+    near-dup families plus unique docs."""
+    from louvain_spark.operators.dedup import (
+        lsh_cluster_edges,
+        minhash_lsh_pairs,
+        near_dup_clusters,
+    )
+
+    rows = []
+    for fam, base in ((0, "alpha beta gamma delta epsilon zeta eta theta"),
+                      (1, "one two three four five six seven eight")):
+        for j in range(6):
+            rows.append((fam * 10 + j, base + f" tail{fam}x{j}"))
+    rows += [(100, "completely different text body here"),
+             (101, "another unrelated unique document text")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=8, n=2)
+    stars = lsh_cluster_edges(docs, num_hashes=16, bands=8, n=2)
+    n_pairs, n_stars = pairs.count(), stars.count()
+    assert n_stars <= n_pairs  # star form never emits more edges
+    got_pairs = sorted(near_dup_clusters(spark, pairs).collect())
+    got_stars = sorted(near_dup_clusters(spark, stars).collect())
+    assert got_pairs == got_stars
+    assert got_pairs  # the families actually clustered

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from louvain_spark import get_spark  # noqa: E402
 from louvain_spark.operators.dedup import (  # noqa: E402
+    lsh_cluster_edges,
     minhash_lsh_pairs,
     near_dup_clusters,
     ngram_contamination,
@@ -47,6 +48,13 @@ from louvain_spark.operators.sampling import (  # noqa: E402
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_500_000
+    # family SIZE (docs per near-dup family). Default 32 = the bench
+    # synth shape (n/40 families over the 80% dup fraction). Passing a
+    # larger size with the same corpus probes the genuinely-quadratic
+    # regime: LSH candidate pairs within a family are ~size²/2 BY SPEC
+    # (every pair really is a near-dup), so this leg measures whether the
+    # engine survives materializing them, not whether it avoids them.
+    fam_size = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     spark = get_spark(
         "dedup-advisory",
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
@@ -59,10 +67,11 @@ def main() -> None:
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix="dedup_advisory_", dir=base)
 
-    # same synth as bench.py's scaling corpus: 80% in n/40 families
-    # sharing 40 family words + 1 unique token, 20% fully unique
+    # same synth as bench.py's scaling corpus: 80% of docs in near-dup
+    # families sharing 40 family words + 1 unique token, 20% fully unique
+    n_fams = max(1, int(n_docs * 0.8) // fam_size)
     fam = F.when(
-        F.col("id") < int(n_docs * 0.8), F.pmod("id", F.lit(n_docs // 40))
+        F.col("id") < int(n_docs * 0.8), F.pmod("id", F.lit(n_fams))
     ).otherwise(-F.col("id"))
     words = F.transform(
         F.sequence(F.lit(0), F.lit(39)),
@@ -79,20 +88,38 @@ def main() -> None:
         ).alias("text"),
     ).repartition(64).write.mode("overwrite").parquet(f"{work}/docs")
     docs = spark.read.parquet(f"{work}/docs")
-    out = {"n_docs": n_docs, "families": n_docs // 40, "dup_frac": 0.8}
+    out = {"n_docs": n_docs, "families": n_fams, "fam_size": fam_size, "dup_frac": 0.8}
 
-    t0 = time.monotonic()
-    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=4, n=3)
-    pairs.write.mode("overwrite").parquet(f"{work}/pairs")
-    out["minhash_lsh_pairs_s"] = round(time.monotonic() - t0, 1)
-    pairs = spark.read.parquet(f"{work}/pairs")
-    out["candidate_pairs"] = pairs.count()
+    # SPARK_GRAFT_DEDUP_SKIP_PAIRS=1 measures only the star path — used
+    # to show the star form completing under a memory footprint where the
+    # all-pairs form OOMs (BENCH/dedup_10x_advisory.md)
+    if not os.environ.get("SPARK_GRAFT_DEDUP_SKIP_PAIRS"):
+        t0 = time.monotonic()
+        pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=4, n=3)
+        pairs.write.mode("overwrite").parquet(f"{work}/pairs")
+        out["minhash_lsh_pairs_s"] = round(time.monotonic() - t0, 1)
+        pairs = spark.read.parquet(f"{work}/pairs")
+        out["candidate_pairs"] = pairs.count()
 
+        t0 = time.monotonic()
+        nd = near_dup_clusters(spark, pairs)
+        out["near_dup_docs"] = nd.count()
+        out["near_dup_clusters_s"] = round(time.monotonic() - t0, 1)
+        out["near_dup_groups"] = nd.where("is_canonical").count()
+
+    # star-edge clustering path: connectivity-equivalent to the all-pairs
+    # candidates for unverified transitive dedup, O(bucket) edges
     t0 = time.monotonic()
-    nd = near_dup_clusters(spark, pairs)
-    out["near_dup_docs"] = nd.count()
-    out["near_dup_clusters_s"] = round(time.monotonic() - t0, 1)
-    out["near_dup_groups"] = nd.where("is_canonical").count()
+    stars = lsh_cluster_edges(docs, num_hashes=16, bands=4, n=3)
+    stars.write.mode("overwrite").parquet(f"{work}/stars")
+    out["lsh_star_edges_s"] = round(time.monotonic() - t0, 1)
+    stars = spark.read.parquet(f"{work}/stars")
+    out["star_edges"] = stars.count()
+    t0 = time.monotonic()
+    nds = near_dup_clusters(spark, stars)
+    out["near_dup_docs_star"] = nds.count()
+    out["near_dup_clusters_star_s"] = round(time.monotonic() - t0, 1)
+    out["near_dup_groups_star"] = nds.where("is_canonical").count()
 
     t0 = time.monotonic()
     lab = hash_split(docs, "doc_id")
@@ -116,7 +143,7 @@ def main() -> None:
 
     for k in list(out):
         if k.endswith("_s"):
-            out[k.replace("_s", "_us_per_doc")] = round(out[k] * 1e6 / n_docs, 2)
+            out[k[:-2] + "_us_per_doc"] = round(out[k] * 1e6 / n_docs, 2)
     print(json.dumps(out))
     spark.stop()
     shutil.rmtree(work, ignore_errors=True)
