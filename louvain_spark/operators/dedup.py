@@ -216,6 +216,13 @@ def minhash_lsh_pairs(
     sharing any band bucket (md5 of the band's mins) become a candidate
     pair. verify_threshold, if set, re-checks candidates with exact
     shingle Jaccard and filters.
+
+    Pair volume is O(Σ bucket_size²) — at hot near-dup family shapes
+    that is quadratic by spec (191M pairs at 1.5M docs / 320-doc
+    families, needing ≥3g/core to materialize —
+    BENCH/dedup_10x_advisory.md). When the pairs feed UNVERIFIED
+    transitive clustering (near_dup_clusters), use lsh_cluster_edges
+    instead: identical components from O(Σ bucket_size) star edges.
     """
     bucket = _minhash_buckets(docs, num_hashes, bands, id_col, text_col, n)
     a = bucket.withColumnRenamed("doc_id", "src")
