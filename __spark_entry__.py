@@ -38,6 +38,7 @@ from louvain_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_signatures,
 )
+from louvain_spark.operators.curation import PII_PASSES, filter_funnel, pii_scrub
 from louvain_spark.operators.graph import degrees
 from louvain_spark.operators.lpa import label_propagation
 from louvain_spark.operators.louvain import louvain
@@ -56,9 +57,11 @@ from louvain_spark.operators.similarity import (
     rademacher_planes,
 )
 from louvain_spark.operators.textstats import (
+    TOKEN_RE,
     language_id,
     quality_scores,
     fingerprint,
+    repetition_scores,
 )
 from louvain_spark.operators.triangles import triangle_count
 from louvain_spark.sources.tables import EVENTS_COOC_SQL, events_cooc, load
@@ -494,6 +497,75 @@ def q_stream_dedup_docs(spark, sf_dir):
     )
 
 
+def q_repetition_docs(spark, sf_dir):
+    """Gopher-style per-document repetition signals (dup lines / top
+    bigram mass / dup 5-grams). The synthetic corpus is single-line, so
+    a deterministic ``'table' -> newline`` rewrite — the identical
+    expression in the oracle — makes the line-level signals fire."""
+    docs = load(spark, sf_dir, "documents")
+    multi = docs.select(
+        "doc_id", F.regexp_replace("text", "table", "\n").alias("text")
+    )
+    return repetition_scores(multi)
+
+
+def q_pii_scrub_docs(spark, sf_dir):
+    """PII detect + redact. The corpus carries no PII, so each doc gets a
+    deterministic doc_id-derived email/IPv4/phone suffix (same
+    expression in the oracle) — the row then verifies real detection and
+    the full sequential redaction, not vacuous zeros. clean_text is
+    hashed so the row stays compact."""
+    docs = load(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach "),
+            F.col("source"),
+            F.lit("@example.com via 10.2."),
+            ((F.col("doc_id") % 250) + 1).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") % 97) + 1).cast("string"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    ((F.col("doc_id") % 900) + 100).cast("string"),
+                    F.lit("-"),
+                    ((F.col("doc_id") % 9000) + 1000).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(injected).select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        F.md5("clean_text").alias("clean_digest"),
+    )
+
+
+def q_filter_funnel_docs(spark, sf_dir):
+    """Sequential curation-funnel report over three quality rules
+    (min chars, min tokens, type-token ratio) — one aggregation pass."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)
+    rules = [
+        ("min_chars_200", F.length("text") >= 200),
+        ("min_tokens_40", F.size(toks) >= 40),
+        (
+            "ttr_45pct",
+            (
+                F.size(F.array_distinct(toks)).cast("double")
+                / F.greatest(F.size(toks), F.lit(1))
+            )
+            >= 0.45,
+        ),
+    ]
+    return filter_funnel(docs, rules)
+
+
 def q_token_stats_docs(spark, sf_dir):
     from louvain_spark.operators.textstats import bpe_token_count, token_count
 
@@ -696,6 +768,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats_docs": q_corpus_stats_docs,
         "pack_documents_docs": q_pack_documents_docs,
         "stream_dedup_docs": q_stream_dedup_docs,
+        "repetition_docs": q_repetition_docs,
+        "pii_scrub_docs": q_pii_scrub_docs,
+        "filter_funnel_docs": q_filter_funnel_docs,
         "token_stats_docs": q_token_stats_docs,
         "quality_scores_docs": q_quality_docs,
         "language_id_docs": q_language_id_docs,
@@ -716,6 +791,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _NORM_TEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKENS = "regexp_extract_all(text, '[A-Za-z0-9_'']+')"
+
+# pii_scrub_docs: the deterministic PII injection (the corpus has none),
+# and the count/redaction expressions generated from the SAME PII_PASSES
+# the operator uses, so pattern/order can never drift between engines.
+_PII_INJ_SQL = (
+    "text || ' reach ' || source || '@example.com via 10.2.' || "
+    "((doc_id % 250) + 1)::VARCHAR || '.' || ((doc_id % 97) + 1)::VARCHAR || "
+    "CASE WHEN doc_id % 3 = 0 THEN ' call 555-' || "
+    "((doc_id % 900) + 100)::VARCHAR || '-' || "
+    "((doc_id % 9000) + 1000)::VARCHAR ELSE '' END"
+)
+_PII_COUNTS_SQL = ",\n          ".join(
+    f"len(regexp_extract_all(t, '{_pat}'))::BIGINT AS n_{_name}"
+    for _name, _pat, _tok in PII_PASSES
+)
+_PII_CLEAN_SQL = "t"
+for _name, _pat, _tok in PII_PASSES:
+    _PII_CLEAN_SQL = f"regexp_replace({_PII_CLEAN_SQL}, '{_pat}', '{_tok}', 'g')"
 
 _QUALITY_SQL = f"""
 WITH base AS (
@@ -1240,6 +1333,84 @@ def _oracle_sql_base() -> dict[str, str]:
         SELECT md5({_NORM_TEXT}) AS digest, 1::BIGINT AS store_rows,
                count(*) AS corpus_cnt
         FROM documents GROUP BY 1
+        """,
+        # repetition_docs: same 'table'->newline rewrite as the Spark
+        # query; every fraction is a ratio of exact integers, so the
+        # IEEE-correctly-rounded doubles are bit-identical cross-engine.
+        "repetition_docs": """
+        WITH base AS (
+          SELECT doc_id, regexp_replace(text, 'table', chr(10), 'g') AS t
+          FROM documents
+        ), parts AS (
+          SELECT doc_id,
+            list_filter(string_split(t, chr(10)), x -> length(x) > 0) AS lines,
+            regexp_extract_all(t, '[A-Za-z0-9_'']+') AS toks
+          FROM base
+        ), grams AS (
+          SELECT doc_id, lines, toks,
+            CASE WHEN len(toks) >= 2 THEN
+              list_transform(generate_series(1, len(toks) - 1),
+                i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+            ELSE []::VARCHAR[] END AS bi,
+            CASE WHEN len(toks) >= 5 THEN
+              list_transform(generate_series(1, len(toks) - 4),
+                i -> array_to_string(list_slice(toks, i, i + 4), ' '))
+            ELSE []::VARCHAR[] END AS five
+          FROM parts
+        ), m AS (
+          SELECT doc_id,
+            len(lines)::BIGINT AS nl,
+            len(list_distinct(lines))::BIGINT AS dl,
+            coalesce(list_sum(list_transform(lines, x -> length(x)))::BIGINT, 0)
+              AS line_chars,
+            coalesce(list_sum(list_transform(list_distinct(lines),
+              x -> length(x)))::BIGINT, 0) AS dline_chars,
+            len(toks)::BIGINT AS nw,
+            coalesce(list_sum(list_transform(toks, x -> length(x)))::BIGINT, 0)
+              AS word_chars,
+            len(five)::BIGINT AS n5,
+            len(list_distinct(five))::BIGINT AS d5,
+            coalesce(list_max(list_transform(list_distinct(bi),
+              x -> (len(list_filter(bi, y -> y = x)) * (length(x) - 1))::BIGINT
+            )), 0) AS top_bi
+          FROM grams
+        )
+        SELECT doc_id, nl AS n_lines, nw AS n_words,
+          (nl - dl)::DOUBLE / greatest(nl, 1) AS dup_line_frac,
+          (line_chars - dline_chars)::DOUBLE / greatest(line_chars, 1)
+            AS dup_line_char_frac,
+          top_bi::DOUBLE / greatest(word_chars, 1) AS top_bigram_char_frac,
+          (n5 - d5)::DOUBLE / greatest(n5, 1) AS dup_5gram_frac
+        FROM m
+        """,
+        "pii_scrub_docs": f"""
+        WITH inj AS (
+          SELECT doc_id, {_PII_INJ_SQL} AS t FROM documents
+        )
+        SELECT doc_id,
+          {_PII_COUNTS_SQL},
+          md5({_PII_CLEAN_SQL}) AS clean_digest
+        FROM inj
+        """,
+        "filter_funnel_docs": f"""
+        WITH p AS (
+          SELECT length(text) >= 200 AS p0,
+            len({_TOKENS}) >= 40 AS p1,
+            (len(list_distinct({_TOKENS}))::DOUBLE
+              / greatest(len({_TOKENS}), 1)) >= 0.45 AS p2
+          FROM documents
+        ), c AS (
+          SELECT count(*)::BIGINT AS n,
+            coalesce(sum(CASE WHEN p0 THEN 1 ELSE 0 END), 0)::BIGINT AS o0,
+            coalesce(sum(CASE WHEN p0 AND p1 THEN 1 ELSE 0 END), 0)::BIGINT AS o1,
+            coalesce(sum(CASE WHEN p0 AND p1 AND p2 THEN 1 ELSE 0 END), 0)::BIGINT
+              AS o2
+          FROM p
+        )
+        SELECT 0 AS rule_idx, 'min_chars_200' AS rule,
+               n AS n_in, n - o0 AS n_fail, o0 AS n_out FROM c
+        UNION ALL SELECT 1, 'min_tokens_40', o0, o0 - o1, o1 FROM c
+        UNION ALL SELECT 2, 'ttr_45pct', o1, o1 - o2, o2 FROM c
         """,
         "token_stats_docs": f"""
         SELECT doc_id, len({_TOKENS}) AS n_tokens,
