@@ -64,6 +64,13 @@ from louvain_spark.operators.textstats import (
     repetition_scores,
 )
 from louvain_spark.operators.triangles import triangle_count
+from louvain_spark.operators.webstats import (
+    build_vocab,
+    domain_counts,
+    mix_allocation,
+    tfidf_top_terms,
+    url_stats,
+)
 from louvain_spark.sources.tables import EVENTS_COOC_SQL, events_cooc, load
 
 
@@ -566,6 +573,61 @@ def q_filter_funnel_docs(spark, sf_dir):
     return filter_funnel(docs, rules)
 
 
+def _inject_urls(docs):
+    """Deterministic doc_id-derived URLs (the synthetic corpus has none);
+    the oracle applies the identical expression."""
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://"),
+            F.col("source"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" plus http://cdn.example.org/a and https://"),
+                    F.col("source"),
+                    F.lit(".example.com/"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_url_stats_docs(spark, sf_dir):
+    """Per-document URL/host stats over the deterministic injection."""
+    return url_stats(_inject_urls(load(spark, sf_dir, "documents")))
+
+
+def q_domain_counts_docs(spark, sf_dir):
+    """Corpus-level host frequency table (blocklist/mix-audit input)."""
+    return domain_counts(_inject_urls(load(spark, sf_dir, "documents")))
+
+
+def q_vocab_docs(spark, sf_dir):
+    """Top-50 vocabulary with contiguous rank ids via the distributed
+    two-phase rank (never a single-partition window)."""
+    return build_vocab(load(spark, sf_dir, "documents"), top_k=50, min_df=2)
+
+
+def q_tfidf_docs(spark, sf_dir):
+    """Per-document top-3 terms by smoothed TF-IDF, score rounded before
+    ranking so the rank order is engine-portable."""
+    return tfidf_top_terms(load(spark, sf_dir, "documents"), k=3)
+
+
+def q_mix_allocation_docs(spark, sf_dir):
+    """Static source-mixing plan: 5000-token budget at 50/30/20 over
+    src0/src1/src2 (clamps at availability; unlisted sources rate 0)."""
+    return mix_allocation(
+        load(spark, sf_dir, "documents"),
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        5000,
+    )
+
+
 def q_token_stats_docs(spark, sf_dir):
     from louvain_spark.operators.textstats import bpe_token_count, token_count
 
@@ -771,6 +833,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_docs": q_repetition_docs,
         "pii_scrub_docs": q_pii_scrub_docs,
         "filter_funnel_docs": q_filter_funnel_docs,
+        "url_stats_docs": q_url_stats_docs,
+        "domain_counts_docs": q_domain_counts_docs,
+        "vocab_docs": q_vocab_docs,
+        "tfidf_docs": q_tfidf_docs,
+        "mix_allocation_docs": q_mix_allocation_docs,
         "token_stats_docs": q_token_stats_docs,
         "quality_scores_docs": q_quality_docs,
         "language_id_docs": q_language_id_docs,
@@ -809,6 +876,23 @@ _PII_COUNTS_SQL = ",\n          ".join(
 _PII_CLEAN_SQL = "t"
 for _name, _pat, _tok in PII_PASSES:
     _PII_CLEAN_SQL = f"regexp_replace({_PII_CLEAN_SQL}, '{_pat}', '{_tok}', 'g')"
+
+# url_stats_docs / domain_counts_docs: deterministic URL injection (the
+# corpus has none) and the domain list, mirroring webstats._domains with
+# the operator module's own patterns.
+from louvain_spark.operators.webstats import DOMAIN_RE as _DOMAIN_RE  # noqa: E402
+from louvain_spark.operators.webstats import URL_RE as _URL_RE  # noqa: E402
+
+_URL_INJ_SQL = (
+    "text || ' see https://' || source || '.example.com/p/' || "
+    "doc_id::VARCHAR || CASE WHEN doc_id % 4 = 0 THEN "
+    "' plus http://cdn.example.org/a and https://' || source || "
+    "'.example.com/' ELSE '' END"
+)
+_DOMAINS_SQL = (
+    f"list_transform(regexp_extract_all(t, '{_URL_RE}'), "
+    f"u -> regexp_extract(u, '{_DOMAIN_RE}', 1))"
+)
 
 _QUALITY_SQL = f"""
 WITH base AS (
@@ -1411,6 +1495,74 @@ def _oracle_sql_base() -> dict[str, str]:
                n AS n_in, n - o0 AS n_fail, o0 AS n_out FROM c
         UNION ALL SELECT 1, 'min_tokens_40', o0, o0 - o1, o1 FROM c
         UNION ALL SELECT 2, 'ttr_45pct', o1, o1 - o2, o2 FROM c
+        """,
+        "url_stats_docs": f"""
+        WITH inj AS (SELECT doc_id, {_URL_INJ_SQL} AS t FROM documents),
+        d AS (SELECT doc_id, {_DOMAINS_SQL} AS doms FROM inj)
+        SELECT doc_id, len(doms)::BIGINT AS n_urls,
+               len(list_distinct(doms))::BIGINT AS n_domains,
+               coalesce(doms[1], '') AS first_domain
+        FROM d
+        """,
+        "domain_counts_docs": f"""
+        WITH inj AS (SELECT doc_id, {_URL_INJ_SQL} AS t FROM documents),
+        d AS (SELECT doc_id, unnest({_DOMAINS_SQL}) AS domain FROM inj)
+        SELECT domain, count(*)::BIGINT AS n_mentions,
+               count(DISTINCT doc_id)::BIGINT AS n_docs
+        FROM d GROUP BY domain
+        """,
+        "vocab_docs": f"""
+        WITH toks AS (
+          SELECT doc_id, lower(x.tok) AS term
+          FROM documents, UNNEST({_TOKENS}) AS x(tok)
+        ), v AS (
+          SELECT term, count(*)::BIGINT AS tf,
+                 count(DISTINCT doc_id)::BIGINT AS df
+          FROM toks GROUP BY term
+        ), r AS (
+          SELECT term, tf, df,
+            (row_number() OVER (ORDER BY tf DESC, term) - 1)::BIGINT AS term_id
+          FROM v WHERE df >= 2
+        )
+        SELECT term_id, term, tf, df FROM r WHERE term_id < 50
+        """,
+        "tfidf_docs": f"""
+        WITH tf AS (
+          SELECT doc_id, lower(x.tok) AS term, count(*)::BIGINT AS tf
+          FROM documents, UNNEST({_TOKENS}) AS x(tok)
+          GROUP BY doc_id, lower(x.tok)
+        ), dft AS (
+          SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+        ), n AS (SELECT count(*)::BIGINT AS n_corpus FROM documents),
+        s AS (
+          SELECT tf.doc_id, tf.term, tf.tf,
+            round(tf.tf * (ln((n.n_corpus + 1)::DOUBLE / (dft.df + 1)) + 1), 6)
+              AS score
+          FROM tf, dft, n WHERE tf.term = dft.term
+        ), r AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+          FROM s
+        )
+        SELECT doc_id, term, tf, score, rn FROM r WHERE rn <= 3
+        """,
+        "mix_allocation_docs": f"""
+        WITH per AS (
+          SELECT source, count(*)::BIGINT AS n_docs,
+                 sum(len({_TOKENS}))::BIGINT AS total_tokens
+          FROM documents GROUP BY source
+        ), t(source, target_frac) AS (
+          VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)
+        ), j AS (
+          SELECT per.source, n_docs, total_tokens,
+            round(5000.0 * coalesce(target_frac, 0.0))::BIGINT AS target_tokens
+          FROM per LEFT JOIN t ON per.source = t.source
+        )
+        SELECT source, n_docs, total_tokens, target_tokens,
+          round(least(1.0, target_tokens::DOUBLE / greatest(total_tokens, 1)), 6)
+            AS sample_rate,
+          least(target_tokens, total_tokens) AS alloc_tokens
+        FROM j
         """,
         "token_stats_docs": f"""
         SELECT doc_id, len({_TOKENS}) AS n_tokens,
