@@ -675,21 +675,38 @@ def cosine_topk_ivf(
     assign1 = _ivf_assign_udf(centroids, 1)
     assign_p = _ivf_assign_udf(centroids, n_probe)
     ix0 = i.withColumn("list_id", F.element_at(assign1(F.col("_iv")), 1))
-    # n_chunks from the MAX observed list size (one extra n_lists-row
-    # aggregation over the checkpointed items), not the average: under
-    # list skew the average puts a hot list — potentially a large corpus
-    # fraction — into a single Arrow cell / single task (r5 ADVICE).
-    # With the max, every list's per-cell item count is bounded at
-    # ~item_block_rows by the hash chunking below.
-    max_list = (
-        ix0.groupBy("list_id").count().agg(F.max("count").alias("m")).collect()[0]["m"]
+    # PER-LIST chunking (r5 ADVICE, revised r6): n_chunks_i =
+    # ceil(list_size_i / item_block_rows) from an in-plan n_lists-row
+    # count aggregate, broadcast-joined to both sides (bounded by
+    # n_lists, a user parameter — always broadcastable). A hot list's
+    # per-cell item count is bounded at ~item_block_rows, and ONLY
+    # queries probing that hot list fan out to its chunks. The r6
+    # interim form derived ONE global n_chunks from the max list size:
+    # (a) its driver-side max collect() added a per-call action (the
+    # scaling tiny-floor legs measured the ivf floor swinging 9-43s,
+    # partly this extra blocking round-trip), and (b) once any single
+    # list crosses item_block_rows — the 100 TB regime this cap exists
+    # for — it would replicate EVERY query to every chunk, a global
+    # penalty for one hot list. Per-list derivation removes both:
+    # everything is in-plan, and fan-out is local to the hot list.
+    counts = ix0.groupBy("list_id").agg(
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.count(F.lit(1)) / F.lit(int(item_block_rows))),
+        )
+        .cast("int")
+        .alias("_nck")
     )
-    n_chunks = max(1, math.ceil((max_list or 0) / item_block_rows))
-    ix = ix0.withColumn(
-        "_chunk", F.pmod(F.xxhash64("item_id"), F.lit(n_chunks)).cast("int")
+    ix = (
+        ix0.join(F.broadcast(counts), "list_id")
+        .withColumn("_chunk", F.pmod(F.xxhash64("item_id"), F.col("_nck")).cast("int"))
+        .drop("_nck")
     )
-    qx = q.withColumn("list_id", F.explode(assign_p(F.col("_qv")))).withColumn(
-        "_chunk", F.explode(F.array(*[F.lit(c) for c in range(n_chunks)]))
+    qx = (
+        q.withColumn("list_id", F.explode(assign_p(F.col("_qv"))))
+        .join(F.broadcast(counts), "list_id")
+        .withColumn("_chunk", F.explode(F.sequence(F.lit(0), F.col("_nck") - 1)))
+        .drop("_nck")
     )
     cell = _make_topk_cell_arrow(int(k), min_sim, bool(exclude_self))
     scored = (
