@@ -285,6 +285,29 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     with timed("stratified_sample"):
         grp = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
         stratified_sample(docs.withColumn("_grp", grp), "_grp", 50, "doc_id").count()
+    # --- quality/text analysis over the same corpus: the row-local signal
+    # family (repetition + PII scrub — pure map, zero shuffle) and the
+    # aggregation family (vocabulary + TF-IDF — explode + combinable aggs
+    # + distributed rank). Aggregated so column pruning can't elide any
+    # signal column.
+    with timed("quality_signals"):
+        from louvain_spark.operators.curation import pii_scrub
+        from louvain_spark.operators.textstats import repetition_scores
+
+        repetition_scores(docs).agg(
+            F.sum("n_words"),
+            F.sum("dup_5gram_frac"),
+            F.sum("top_bigram_char_frac"),
+            F.sum("dup_line_char_frac"),
+        ).collect()
+        pii_scrub(docs).agg(
+            F.sum("n_email"), F.sum(F.length("clean_text"))
+        ).collect()
+    with timed("vocab_tfidf"):
+        from louvain_spark.operators.webstats import build_vocab, tfidf_top_terms
+
+        extra["vocab_terms"] = build_vocab(docs, top_k=5000, min_df=2).count()
+        tfidf_top_terms(docs, k=3).agg(F.sum("score")).collect()
 
     emb = load(spark, sf_dir, "embeddings")
     with timed("ann_topk"):
@@ -464,6 +487,7 @@ ANN_STAGES = ("minhash_lsh", "lsh_ann_topk", "ivf_ann_topk")
 # contention predicate for the same reason
 CURATION_STAGES = (
     "near_dup_clusters", "contamination", "pack_documents", "stratified_sample",
+    "quality_signals", "vocab_tfidf",
 )
 
 # Quiet-host bands for the recorded run (max of pre/post, ms). From the
@@ -621,7 +645,15 @@ def scaling(sf_dir: str) -> None:
             with open(os.path.join(REPO, "BENCH", "scaling_attempts.json")) as f:
                 prior = json.load(f)
             fs, fb = prior["floors"]
-            if fs["extra"]["cpus"] == n and fb["extra"]["cpus"] == n4:
+            # stage-superset check: floors recorded before a stage was
+            # added would KeyError at table time — regenerate instead
+            want = set(STAGES + ANN_STAGES + CURATION_STAGES)
+            if (
+                fs["extra"]["cpus"] == n
+                and fb["extra"]["cpus"] == n4
+                and set(fs["queries"]) >= want
+                and set(fb["queries"]) >= want
+            ):
                 floor_s, floor_b = fs, fb
         except (OSError, KeyError, ValueError, TypeError, AttributeError):
             # old-format (list) or malformed attempts file: fall back to
