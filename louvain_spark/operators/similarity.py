@@ -674,7 +674,20 @@ def cosine_topk_ivf(
     # duplicate pairs, so no dedup shuffle is needed.
     assign1 = _ivf_assign_udf(centroids, 1)
     assign_p = _ivf_assign_udf(centroids, n_probe)
-    ix0 = i.withColumn("list_id", F.element_at(assign1(F.col("_iv")), 1))
+    # Materialize the assignment ONCE: both the counts aggregate below
+    # and the re-rank item side consume ix0, and without a checkpoint
+    # each consumer re-executes the Arrow assignment kernel (plus its
+    # python-worker stage spin-up). Fresh-process A/B at the 30k bench
+    # shape (tools/diag_ivf_counts_ab.py, output bit-identical): quiet
+    # host 5.9s vs 16.4s cold; contended host per-arm minima 10.2s vs
+    # 11.5s over 5 reps — the duplicated-kernel cost is host-dependent
+    # but the materialized form's minimum never loses, and at scale the
+    # saved work is a full O(|I|·n_lists·dim) assignment pass. Storage
+    # cost is one (id, vec, list_id) copy on executor-local disk, the
+    # same order as the `i` input snapshot above.
+    ix0 = i.withColumn(
+        "list_id", F.element_at(assign1(F.col("_iv")), 1)
+    ).localCheckpoint(eager=True)
     # PER-LIST chunking (r5 ADVICE, revised r6): n_chunks_i =
     # ceil(list_size_i / item_block_rows) from an in-plan n_lists-row
     # count aggregate, broadcast-joined to both sides (bounded by
