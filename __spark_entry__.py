@@ -39,6 +39,7 @@ from louvain_spark.operators.dedup import (
     simhash_signatures,
 )
 from louvain_spark.operators.curation import PII_PASSES, filter_funnel, pii_scrub
+from louvain_spark.operators.encoding import bigram_lm_scores, encode_documents
 from louvain_spark.operators.graph import degrees
 from louvain_spark.operators.lpa import label_propagation
 from louvain_spark.operators.louvain import louvain
@@ -628,6 +629,24 @@ def q_mix_allocation_docs(spark, sf_dir):
     )
 
 
+def q_encode_docs(spark, sf_dir):
+    """Bulk tokenization: every document as an array of vocabulary ids
+    (top-50 min_df=2 vocab, OOV -> -1), serialized with to_json so the
+    driver's string hash can compare the nested column."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, top_k=50, min_df=2)
+    enc = encode_documents(docs, vocab)
+    return enc.select(
+        "doc_id", "n_tokens", F.to_json("token_ids").alias("token_ids_json")
+    )
+
+
+def q_bigram_lm_docs(spark, sf_dir):
+    """In-corpus add-0.5-smoothed bigram LM quality score; NLL quantized
+    to integer micro-nats per bigram type, so sums are engine-exact."""
+    return bigram_lm_scores(load(spark, sf_dir, "documents"))
+
+
 def q_token_stats_docs(spark, sf_dir):
     from louvain_spark.operators.textstats import bpe_token_count, token_count
 
@@ -838,6 +857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_docs": q_vocab_docs,
         "tfidf_docs": q_tfidf_docs,
         "mix_allocation_docs": q_mix_allocation_docs,
+        "encode_docs": q_encode_docs,
+        "bigram_lm_docs": q_bigram_lm_docs,
         "token_stats_docs": q_token_stats_docs,
         "quality_scores_docs": q_quality_docs,
         "language_id_docs": q_language_id_docs,
@@ -1563,6 +1584,64 @@ def _oracle_sql_base() -> dict[str, str]:
             AS sample_rate,
           least(target_tokens, total_tokens) AS alloc_tokens
         FROM j
+        """,
+        "encode_docs": f"""
+        WITH tl AS (SELECT doc_id, {_TOKENS} AS l FROM documents),
+        toks AS (
+          SELECT doc_id, lower(unnest(l)) AS term,
+                 generate_subscripts(l, 1) AS pos
+          FROM tl
+        ), v AS (
+          SELECT term, count(*)::BIGINT AS tf,
+                 count(DISTINCT doc_id)::BIGINT AS df
+          FROM toks GROUP BY term
+        ), r AS (
+          SELECT term,
+            (row_number() OVER (ORDER BY tf DESC, term) - 1)::BIGINT AS term_id
+          FROM v WHERE df >= 2
+        ), vocab AS (SELECT term, term_id FROM r WHERE term_id < 50),
+        enc AS (
+          SELECT t.doc_id, t.pos, coalesce(v.term_id, -1)::BIGINT AS tid
+          FROM toks t LEFT JOIN vocab v ON t.term = v.term
+        ), agg AS (
+          SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                 to_json(list(tid ORDER BY pos))::VARCHAR AS token_ids_json
+          FROM enc GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+               coalesce(token_ids_json, '[]') AS token_ids_json
+        FROM documents d LEFT JOIN agg USING (doc_id)
+        """,
+        "bigram_lm_docs": f"""
+        WITH tl AS (SELECT doc_id, {_TOKENS} AS l FROM documents),
+        toks AS (
+          SELECT doc_id, lower(unnest(l)) AS term,
+                 generate_subscripts(l, 1) AS pos
+          FROM tl
+        ), bg AS (
+          SELECT a.doc_id, a.term AS w1, b.term AS w2
+          FROM toks a JOIN toks b
+            ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        ), uni AS (
+          SELECT term AS w1, count(*)::BIGINT AS c_w1 FROM toks GROUP BY term
+        ), bigc AS (
+          SELECT w1, w2, count(*)::BIGINT AS c_bg FROM bg GROUP BY w1, w2
+        ), v AS (SELECT count(*)::BIGINT AS v_size FROM uni),
+        nll AS (
+          SELECT bigc.w1, w2,
+            round(-ln((c_bg + 0.5) / (c_w1 + 0.5 * v_size)) * 1e6)::BIGINT
+              AS nll_u
+          FROM bigc JOIN uni ON bigc.w1 = uni.w1 CROSS JOIN v
+        ), per AS (
+          SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                 sum(nll_u)::BIGINT AS sum_nll_u
+          FROM bg JOIN nll USING (w1, w2) GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+               coalesce(sum_nll_u, 0)::BIGINT AS sum_nll_u,
+               CASE WHEN n_bigrams IS NOT NULL
+                    THEN round(sum_nll_u / n_bigrams / 1e6, 6) END AS score
+        FROM documents d LEFT JOIN per USING (doc_id)
         """,
         "token_stats_docs": f"""
         SELECT doc_id, len({_TOKENS}) AS n_tokens,

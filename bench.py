@@ -308,6 +308,17 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
         extra["vocab_terms"] = build_vocab(docs, top_k=5000, min_df=2).count()
         tfidf_top_terms(docs, k=3).agg(F.sum("score")).collect()
+    with timed("encode_lm"):
+        # bulk tokenization against a top-5k vocab + in-corpus bigram-LM
+        # scoring: the explode+keyed-join+re-collect family (aggregated so
+        # pruning can't drop the encoded arrays or the LM sums)
+        from louvain_spark.operators.encoding import bigram_lm_scores, encode_documents
+
+        vocab = build_vocab(docs, top_k=5000, min_df=2)
+        encode_documents(docs, vocab).agg(
+            F.sum("n_tokens"), F.sum(F.size("token_ids"))
+        ).collect()
+        bigram_lm_scores(docs).agg(F.sum("sum_nll_u"), F.sum("score")).collect()
 
     emb = load(spark, sf_dir, "embeddings")
     with timed("ann_topk"):
@@ -487,7 +498,7 @@ ANN_STAGES = ("minhash_lsh", "lsh_ann_topk", "ivf_ann_topk")
 # contention predicate for the same reason
 CURATION_STAGES = (
     "near_dup_clusters", "contamination", "pack_documents", "stratified_sample",
-    "quality_signals", "vocab_tfidf",
+    "quality_signals", "vocab_tfidf", "encode_lm",
 )
 
 # Quiet-host bands for the recorded run (max of pre/post, ms). From the
