@@ -306,7 +306,11 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     with timed("vocab_tfidf"):
         from louvain_spark.operators.webstats import build_vocab, tfidf_top_terms
 
-        extra["vocab_terms"] = build_vocab(docs, top_k=5000, min_df=2).count()
+        # assign the vocab here so encode_lm can reuse the eagerly
+        # checkpointed frame: its timer should measure encode+LM only,
+        # not a duplicate of this stage's vocab build
+        vocab = build_vocab(docs, top_k=5000, min_df=2)
+        extra["vocab_terms"] = vocab.count()
         tfidf_top_terms(docs, k=3).agg(F.sum("score")).collect()
     with timed("encode_lm"):
         # bulk tokenization against a top-5k vocab + in-corpus bigram-LM
@@ -314,7 +318,6 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         # pruning can't drop the encoded arrays or the LM sums)
         from louvain_spark.operators.encoding import bigram_lm_scores, encode_documents
 
-        vocab = build_vocab(docs, top_k=5000, min_df=2)
         encode_documents(docs, vocab).agg(
             F.sum("n_tokens"), F.sum(F.size("token_ids"))
         ).collect()
@@ -565,7 +568,10 @@ def record(sf_dir: str, cpus: int, max_attempts: int = 4) -> dict:
     def attempt_digest(r: dict) -> dict:
         e = r["extra"]
         return {
-            "queries": r["queries"],
+            # copy: the min-merge below mutates base["queries"] in place,
+            # and a by-reference digest of the base run would silently
+            # show the merged minima instead of that run's real timings
+            "queries": dict(r["queries"]),
             "total": r["value"],
             "sentinel_in_band": e["sentinel_in_band"],
             "serial_ms": round(
@@ -589,6 +595,8 @@ def record(sf_dir: str, cpus: int, max_attempts: int = 4) -> dict:
         )
         base["extra"]["attempts"] = [attempt_digest(base)]
         return base
+    # snapshot the audit digests BEFORE the min-merge mutates base
+    digests = [attempt_digest(r) for r in inband]
     # per-stage minima across the in-band set
     mins = {
         k: min(r["queries"][k] for r in inband) for k in base["queries"]
@@ -596,7 +604,7 @@ def record(sf_dir: str, cpus: int, max_attempts: int = 4) -> dict:
     base["queries"] = mins
     base["value"] = round(sum(mins.values()), 3)
     e = base["extra"]
-    e["attempts"] = [attempt_digest(r) for r in inband]
+    e["attempts"] = digests
     e["stage_times_are"] = f"per-stage minima over {len(inband)} in-band fresh-JVM runs"
     # rates derived from stage walls must match the committed walls
     if "edges" in e and "induce_edges" in mins:

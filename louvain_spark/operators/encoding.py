@@ -62,8 +62,14 @@ def encode_documents(
     """
     toks = docs.select(F.col(id_col).alias("doc_id"), _tokens(text_col).alias("_t"))
     ex = toks.select("doc_id", F.posexplode("_t").alias("pos", "term"))
-    v = vocab.select("term", F.col("term_id").cast("long").alias("_tid"))
-    if vocab.count() <= broadcast_terms:
+    # materialize the dictionary projection before the gate: the count
+    # action and the join would otherwise each execute the caller's full
+    # vocab lineage (build_vocab output is already checkpointed, but the
+    # contract accepts ANY (term, term_id) frame)
+    v = vocab.select(
+        "term", F.col("term_id").cast("long").alias("_tid")
+    ).localCheckpoint(eager=True)
+    if v.count() <= broadcast_terms:
         v = F.broadcast(v)
     else:
         v = v.hint("shuffle_hash")

@@ -41,6 +41,16 @@ def test_record_takes_per_stage_minima(monkeypatch):
     # derived rates recomputed from the committed minima
     assert e["edges_per_sec"] == round(1000 / 10.0, 1)
     assert e["louvain_edges_per_sec"] == round(1000 / 40.0, 1)
+    # the audit digests must carry each run's REAL stage times, not the
+    # post-merge minima (the base run's dict is mutated by the merge —
+    # digests are snapshotted before it)
+    assert e["attempts"][0]["queries"] == {
+        "induce_edges": 10.0, "louvain_parallel": 60.0,
+    }
+    assert e["attempts"][0]["total"] == 70.0
+    assert e["attempts"][1]["queries"] == {
+        "induce_edges": 12.0, "louvain_parallel": 40.0,
+    }
 
 
 def test_record_single_inband_is_flagged(monkeypatch):

@@ -69,7 +69,24 @@ def main() -> None:
     # recompute the table from the UNCHANGED scale attempts (per-stage min
     # across attempts, as scaling() reports)
     attempts = prior["attempts"]
-    stages = bench.STAGES + bench.ANN_STAGES + bench.CURATION_STAGES
+    # restrict to stages every recorded attempt actually carries: attempts
+    # recorded before a stage existed would otherwise KeyError at table
+    # time, AFTER the fresh tiny legs were measured (wasted minutes)
+    recorded = set.intersection(
+        *(set(pair[side]["queries"]) for pair in attempts for side in (0, 1))
+    )
+    stages = tuple(
+        k
+        for k in bench.STAGES + bench.ANN_STAGES + bench.CURATION_STAGES
+        if k in recorded
+    )
+    skipped = [
+        k
+        for k in bench.STAGES + bench.ANN_STAGES + bench.CURATION_STAGES
+        if k not in recorded
+    ]
+    if skipped:
+        print(f"[refloor] skipping stages absent from recorded attempts: {skipped}")
 
     def best(side: int, key: str) -> float:
         return min(pair[side]["queries"][key] for pair in attempts)
