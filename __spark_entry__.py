@@ -517,6 +517,19 @@ def q_repetition_docs(spark, sf_dir):
     return repetition_scores(multi)
 
 
+def q_boilerplate_docs(spark, sf_dir):
+    """C4-style boilerplate line removal (drop lines in >2 docs), over
+    the same deterministic 'table' -> newline rewrite as repetition_docs
+    so the single-line corpus becomes multi-line."""
+    from louvain_spark.operators.curation import strip_boilerplate_lines
+
+    docs = load(spark, sf_dir, "documents")
+    multi = docs.select(
+        "doc_id", F.regexp_replace("text", "table", "\n").alias("text")
+    )
+    return strip_boilerplate_lines(multi, max_line_df=2)
+
+
 def q_pii_scrub_docs(spark, sf_dir):
     """PII detect + redact. The corpus carries no PII, so each doc gets a
     deterministic doc_id-derived email/IPv4/phone suffix (same
@@ -850,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents_docs": q_pack_documents_docs,
         "stream_dedup_docs": q_stream_dedup_docs,
         "repetition_docs": q_repetition_docs,
+        "boilerplate_docs": q_boilerplate_docs,
         "pii_scrub_docs": q_pii_scrub_docs,
         "filter_funnel_docs": q_filter_funnel_docs,
         "url_stats_docs": q_url_stats_docs,
@@ -1487,6 +1501,40 @@ def _oracle_sql_base() -> dict[str, str]:
           top_bi::DOUBLE / greatest(word_chars, 1) AS top_bigram_char_frac,
           (n5 - d5)::DOUBLE / greatest(n5, 1) AS dup_5gram_frac
         FROM m
+        """,
+        # boilerplate_docs: same 'table'->newline rewrite as the Spark
+        # query; key = lower(trim(line)), lines in > 2 docs dropped,
+        # string_agg skips the NULLed-out lines exactly like Spark's
+        # collect_list, so reassembly is byte-identical.
+        "boilerplate_docs": """
+        WITH base AS (
+          SELECT doc_id, regexp_replace(text, 'table', chr(10), 'g') AS t
+          FROM documents
+        ), ls AS (
+          SELECT doc_id,
+                 list_filter(string_split(t, chr(10)), x -> length(x) > 0) AS l
+          FROM base
+        ), lines AS (
+          SELECT doc_id, unnest(l) AS line, generate_subscripts(l, 1) AS pos
+          FROM ls
+        ), bk AS (
+          SELECT k FROM (
+            SELECT lower(trim(line)) AS k, count(DISTINCT doc_id) AS c
+            FROM lines GROUP BY 1
+          ) WHERE c > 2
+        ), per AS (
+          SELECT doc_id, count(*)::BIGINT AS n_lines,
+                 sum(CASE WHEN bk.k IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_kept,
+                 coalesce(string_agg(CASE WHEN bk.k IS NULL THEN line END,
+                                     chr(10) ORDER BY pos), '') AS clean_text
+          FROM lines LEFT JOIN bk ON lower(trim(line)) = bk.k
+          GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(n_lines, 0)::BIGINT AS n_lines,
+               coalesce(n_kept, 0)::BIGINT AS n_kept,
+               coalesce(clean_text, '') AS clean_text
+        FROM documents d LEFT JOIN per USING (doc_id)
         """,
         "pii_scrub_docs": f"""
         WITH inj AS (

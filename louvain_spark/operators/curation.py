@@ -54,6 +54,73 @@ def pii_scrub(
     )
 
 
+def strip_boilerplate_lines(
+    docs: DataFrame,
+    max_line_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_keys: int = 4_000_000,
+) -> DataFrame:
+    """(doc_id, n_lines, n_kept, clean_text) — C4/CCNet-style boilerplate
+    removal: drop every line whose normalized form (lower+trim) appears
+    in MORE than `max_line_df` distinct documents (nav bars, footers,
+    cookie banners — the lines that repeat across a web corpus), then
+    reassemble the text in original line order. Empty lines are dropped
+    on both sides of the count. Documents with no non-empty lines appear
+    with n_lines=0 and clean_text='' (completeness contract).
+
+    Scale: the line-DF count is Spark's two-phase distinct aggregate
+    (partial (key, doc) dedup shuffles on both columns, so a footer in
+    10^9 documents never converges on one task). Only the OFFENDER key
+    set — lines with df > max_line_df, the small side by construction —
+    joins back, count-gated broadcast-else-shuffle_hash (the `_with_ids`
+    pattern): in the common broadcast regime the line table is never
+    reshuffled by its skewed key. Reassembly is one per-doc aggregate;
+    order restoration is array_sort on (pos, line) structs, no window.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    nonempty = F.filter(F.split(t, "\n"), lambda x: F.length(x) > 0)
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(nonempty).alias("pos", "line")
+    ).withColumn("_key", F.lower(F.trim(F.col("line"))))
+    bkeys = (
+        lines.groupBy("_key")
+        .agg(F.count_distinct("doc_id").alias("_df"))
+        .where(F.col("_df") > int(max_line_df))
+        .select("_key")
+        .localCheckpoint(eager=True)
+    )
+    if bkeys.count() <= broadcast_keys:
+        bkeys = F.broadcast(bkeys)
+    else:
+        bkeys = bkeys.hint("shuffle_hash")
+    flagged = lines.join(
+        bkeys.withColumn("_boiler", F.lit(True)), "_key", "left"
+    )
+    keep = F.col("_boiler").isNull()
+    agg = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+        # collect_list skips nulls, so dropped lines vanish here
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(keep, F.struct("pos", "line")))
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_lines", F.lit(0).cast("long")).alias("n_lines"),
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
 def filter_funnel(
     docs: DataFrame, rules: list[tuple[str, Column]]
 ) -> DataFrame:

@@ -110,3 +110,50 @@ def test_repetition_scores_zero_shuffle_plan(spark):
     df = spark.createDataFrame([(1, "a b a b")], "doc_id int, text string")
     plan = repetition_scores(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_strip_boilerplate_lines(spark):
+    from louvain_spark.operators.curation import strip_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique alpha\nCopyright Footer\nbody one"),
+            (2, "body two\ncopyright footer "),   # case+trim same key
+            (3, "COPYRIGHT FOOTER\nbody three"),
+            (4, "copyright footer"),               # all lines boilerplate
+            (5, ""),
+            (6, None),
+            (7, "solo\n\n\nlines"),                # empty lines dropped
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in strip_boilerplate_lines(docs, max_line_df=2).collect()
+    }
+    # footer key appears in 4 docs > 2 -> dropped; order preserved
+    assert got[1]["clean_text"] == "unique alpha\nbody one"
+    assert (got[1]["n_lines"], got[1]["n_kept"]) == (3, 2)
+    assert got[2]["clean_text"] == "body two"
+    assert got[3]["clean_text"] == "body three"
+    assert (got[4]["n_lines"], got[4]["n_kept"], got[4]["clean_text"]) == (1, 0, "")
+    for d in (5, 6):
+        assert (got[d]["n_lines"], got[d]["n_kept"], got[d]["clean_text"]) == (
+            0, 0, "",
+        )
+    assert got[7]["clean_text"] == "solo\nlines"
+    assert (got[7]["n_lines"], got[7]["n_kept"]) == (2, 2)
+
+
+def test_strip_boilerplate_threshold_keeps_under_df(spark):
+    from louvain_spark.operators.curation import strip_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [(1, "shared\nmine"), (2, "shared\nyours")], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in strip_boilerplate_lines(docs, max_line_df=2).collect()
+    }
+    # df('shared') == 2 == max_line_df -> kept on both
+    assert got[1] == "shared\nmine" and got[2] == "shared\nyours"
