@@ -322,6 +322,22 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             F.sum("n_tokens"), F.sum(F.size("token_ids"))
         ).collect()
         bigram_lm_scores(docs).agg(F.sum("sum_nll_u"), F.sum("score")).collect()
+    with timed("boilerplate"):
+        # C4-style boilerplate line removal over a deterministic
+        # newline-every-8-words rewrite of the same corpus (the synth text
+        # is single-line); line-DF distinct agg + offender-set broadcast +
+        # per-doc reassembly
+        from louvain_spark.operators.curation import strip_boilerplate_lines
+
+        multi = docs.select(
+            "doc_id",
+            F.regexp_replace(
+                "text", r"((?:\S+\s+){7}\S+)\s+", "$1\n"
+            ).alias("text"),
+        )
+        strip_boilerplate_lines(multi, max_line_df=2).agg(
+            F.sum("n_lines"), F.sum("n_kept"), F.sum(F.length("clean_text"))
+        ).collect()
 
     emb = load(spark, sf_dir, "embeddings")
     with timed("ann_topk"):
@@ -501,7 +517,7 @@ ANN_STAGES = ("minhash_lsh", "lsh_ann_topk", "ivf_ann_topk")
 # contention predicate for the same reason
 CURATION_STAGES = (
     "near_dup_clusters", "contamination", "pack_documents", "stratified_sample",
-    "quality_signals", "vocab_tfidf", "encode_lm",
+    "quality_signals", "vocab_tfidf", "encode_lm", "boilerplate",
 )
 
 # Quiet-host bands for the recorded run (max of pre/post, ms). From the
