@@ -157,3 +157,25 @@ def test_strip_boilerplate_threshold_keeps_under_df(spark):
     }
     # df('shared') == 2 == max_line_df -> kept on both
     assert got[1] == "shared\nmine" and got[2] == "shared\nyours"
+
+
+def test_strip_boilerplate_offender_join_broadcast_gate(spark):
+    from louvain_spark.operators.curation import strip_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [(1, "shared\na"), (2, "shared\nb"), (3, "shared\nc")],
+        "doc_id int, text string",
+    )
+    plan = (
+        strip_boilerplate_lines(docs, max_line_df=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    # forced shuffle path (broadcast_keys=0) must produce identical rows
+    a = sorted(map(tuple, strip_boilerplate_lines(docs, max_line_df=2).collect()))
+    forced = strip_boilerplate_lines(docs, max_line_df=2, broadcast_keys=0)
+    plan_f = forced._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan_f.split("== Final Plan ==")[-1], plan_f
+    assert sorted(map(tuple, forced.collect())) == a

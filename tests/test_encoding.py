@@ -113,3 +113,26 @@ def test_bigram_lm_repeated_text_scores_lower(spark):
     )
     got = {r["doc_id"]: r["score"] for r in bigram_lm_scores(docs).collect()}
     assert got[1] < got[2]
+
+
+def test_encode_vocab_join_broadcast_gate(spark):
+    from louvain_spark.operators.webstats import build_vocab
+
+    docs = _docs(spark)
+    vocab = build_vocab(docs, top_k=100, min_df=1)
+    # below the gate: the dictionary join must be a broadcast (the line
+    # table is never reshuffled by term)
+    plan = (
+        encode_documents(docs, vocab)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    # above the gate (forced with broadcast_terms=0): shuffle join, and
+    # output identical
+    small = encode_documents(docs, vocab).collect()
+    forced = encode_documents(docs, vocab, broadcast_terms=0)
+    plan_f = forced._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan_f.split("== Final Plan ==")[-1], plan_f
+    assert sorted(map(tuple, forced.collect())) == sorted(map(tuple, small))
