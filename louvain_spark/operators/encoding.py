@@ -25,14 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from louvain_spark.operators.textstats import TOKEN_RE
-
-
-def _tokens(text_col: str):
-    t = F.coalesce(F.col(text_col), F.lit(""))
-    return F.transform(
-        F.regexp_extract_all(t, F.lit(TOKEN_RE), 0), lambda x: F.lower(x)
-    )
+from louvain_spark.operators.textstats import lower_tokens as _tokens
 
 
 def encode_documents(

@@ -35,6 +35,18 @@ def token_count(col):
     return F.size(F.regexp_extract_all(col, F.lit(TOKEN_RE), 0))
 
 
+def lower_tokens(text_col: str):
+    """Lowercased word-token array of a (nullable) text column — THE
+    shared tokenization expression: build_vocab, tfidf_top_terms,
+    encode_documents and bigram_lm_scores must all tokenize identically
+    (and identically to the DuckDB `_TOKENS` oracle macro in
+    __spark_entry__.py) or the vocab/encode/LM oracle hashes drift."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    return F.transform(
+        F.regexp_extract_all(t, F.lit(TOKEN_RE), 0), lambda x: F.lower(x)
+    )
+
+
 def bpe_token_count(col):
     """BPE-ish pretoken count (GPT-2 pretokenizer shape, see BPE_SPLIT_RE)."""
     return F.size(F.regexp_extract_all(col, F.lit(BPE_SPLIT_RE), 0))

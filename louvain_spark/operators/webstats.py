@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from louvain_spark.operators.textstats import TOKEN_RE
+from louvain_spark.operators.textstats import TOKEN_RE, lower_tokens
 from louvain_spark.plans.rank import dense_sorted_rank
 
 URL_RE = r"https?://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^\s]*)?"
@@ -86,10 +86,7 @@ def build_vocab(
     id assignment never funnels the vocabulary through one window task,
     so a 10M-term corpus ranks at full parallelism.
     """
-    t = F.coalesce(F.col(text_col), F.lit(""))
-    toks = F.transform(
-        F.regexp_extract_all(t, F.lit(TOKEN_RE), 0), lambda x: F.lower(x)
-    )
+    toks = lower_tokens(text_col)
     terms = (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
         .groupBy("term")
@@ -124,10 +121,7 @@ def tfidf_top_terms(
     sides already keyed); the per-doc top-k is a partitioned window
     (map-side WindowGroupLimit), never a global sort.
     """
-    t = F.coalesce(F.col(text_col), F.lit(""))
-    toks = F.transform(
-        F.regexp_extract_all(t, F.lit(TOKEN_RE), 0), lambda x: F.lower(x)
-    )
+    toks = lower_tokens(text_col)
     tf = (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
         .groupBy("doc_id", "term")

@@ -63,7 +63,8 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="text_advisory_")
 
     fam = F.when(
-        F.col("id") < int(n_docs * 0.8), F.pmod("id", F.lit(n_docs // 40))
+        F.col("id") < int(n_docs * 0.8),
+        F.pmod("id", F.lit(max(1, n_docs // 40))),  # ANSI: pmod by 0 raises
     ).otherwise(-F.col("id"))
     words = F.transform(
         F.sequence(F.lit(0), F.lit(39)),
