@@ -126,6 +126,19 @@ def bigram_lm_scores(
     pairs = toks.select("doc_id", F.explode(bg).alias("b")).select(
         "doc_id", "b.w1", "b.w2"
     )
+    # ONE materialized per-doc distinct-bigram count table feeds both the
+    # corpus bigram counts and the per-doc scoring join: previously the
+    # full-corpus tokenization lineage executed three times (pairs fed the
+    # count table AND the per-doc occurrence join, uni re-derived toks) and
+    # the scoring join moved one row per bigram OCCURRENCE. Per-doc counts
+    # are exact integers, so sum(c·nll_u) over distinct doc bigrams equals
+    # the occurrence-row sum bit-for-bit (nll_u is already quantized to
+    # integer micro-nats precisely to make summation order-free).
+    perdoc = (
+        pairs.groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     uni = (
         toks.select(F.explode("_t").alias("w1"))
         .groupBy("w1")
@@ -133,8 +146,8 @@ def bigram_lm_scores(
     )
     vsize = uni.agg(F.count(F.lit(1)).alias("v_size"))
     nll = (
-        pairs.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c_bg"))
+        perdoc.groupBy("w1", "w2")
+        .agg(F.sum("c").alias("c_bg"))
         .join(uni, "w1")
         .join(F.broadcast(vsize))  # 1-row fold
         .select(
@@ -153,11 +166,11 @@ def bigram_lm_scores(
         )
     )
     per = (
-        pairs.join(nll, ["w1", "w2"])
+        perdoc.join(nll, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("nll_u").alias("sum_nll_u"),
+            F.sum("c").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("nll_u")).alias("sum_nll_u"),
         )
     )
     base = docs.select(F.col(id_col).alias("doc_id"))

@@ -33,8 +33,25 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
-def dot_col(a, b):
-    """JVM-side dot product of two array<float/double> columns (F8)."""
+def dot_col(a, b, dim: int | None = None):
+    """JVM-side dot product of two array<float/double> columns (F8).
+
+    With `dim` given, the fold is unrolled into a flat codegen-able sum:
+    Catalyst higher-order functions (aggregate/zip_with) are
+    CodegenFallback — evaluated interpretively per ELEMENT with per-call
+    InternalRow allocation — which made the LSH pair-scoring stage spend
+    its wall on expression interpretation (measured ~6s of a 15s stage at
+    10M candidate pairs × 64 dims). The unrolled form keeps the exact
+    left-fold association and operand casts ((((0.0 + x0·y0) + x1·y1) + …,
+    float operands promoted to double per element), so every sum is
+    BIT-IDENTICAL to the HOF form — the ANN oracle hashes pin this.
+    Without `dim` (unknown width) the HOF form remains.
+    """
+    if dim is not None:
+        expr = F.lit(0.0)
+        for i in range(int(dim)):
+            expr = expr + F.get(a, i) * F.get(b, i).cast("double")
+        return expr
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y.cast("double")),
         F.lit(0.0),
@@ -302,7 +319,14 @@ def rademacher_planes(
 def _bucket_expr(vec_col, planes_t: list[list[float]], table: int):
     """Bucket key for one hash table: sign bits of the vector's projection
     onto each ±1 plane, packed into a string — pure Catalyst (zip_with /
-    aggregate HOFs), no Python in the hot path."""
+    aggregate HOFs), no Python in the hot path.
+
+    Kept as the HOF fold deliberately (r7 measurement): an unrolled flat
+    add/subtract chain (n_planes·dim ≈ 2560 terms per row) was 4× SLOWER
+    (10.4s vs 2.5s per table side at 30k×64-dim) — the giant projection
+    overwhelms codegen and falls back to interpreted evaluation of a deep
+    expression tree — and a vectorized pandas-UDF variant measured no
+    faster end-to-end than this fold (11.9s vs 10.5s full stage)."""
     bits = [
         F.when(
             F.aggregate(
@@ -320,6 +344,42 @@ def _bucket_expr(vec_col, planes_t: list[list[float]], table: int):
         for row in planes_t
     ]
     return F.concat(F.lit(f"{table}:"), *bits)
+
+
+def _bucket_keys_udf(planes, n_tables: int):
+    """All n_tables bucket keys for a vector as ONE vectorized Arrow
+    kernel call (pandas_udf → array<string>), replacing n_tables·n_planes
+    interpreted HOF folds per row (measured 3.1s per side at 30k×64-dim
+    ×40 planes vs ~0.4s for this kernel).
+
+    BIT-IDENTICAL keys to _bucket_expr: the projection accumulates with
+    the same left fold — per dimension i, acc = acc + vec[i]·plane[i] in
+    float64, vectorized ACROSS rows/planes (the numpy loop runs over
+    dims, so each element's additions happen in the exact HOF order) —
+    and the sign test is the same `>= 0`. Planes are closure-captured
+    (O(n_tables·n_planes·dim) floats, shipped once per executor)."""
+    sign = [np.asarray(t, dtype=np.float64) for t in planes[:n_tables]]  # (planes, dim)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def keys(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        x = np.array(list(vec), dtype=np.float64)  # (n, dim)
+        n, dim = x.shape
+        row_keys: list[list[str]] = [[] for _ in range(n)]
+        for t, pl in enumerate(sign):
+            proj = np.zeros((n, pl.shape[0]))
+            for i in range(dim):
+                # acc + x_i·s_i per element, the exact HOF fold order
+                proj += x[:, i : i + 1] * pl[:, i][None, :]
+            bits = np.where(proj >= 0, "1", "0")
+            prefix = f"{t}:"
+            for r in range(n):
+                row_keys[r].append(prefix + "".join(bits[r]))
+        return pd.Series(row_keys)
+
+    return keys
 
 
 def _cap_items(ib: DataFrame, max_bucket: int) -> DataFrame:
@@ -365,18 +425,9 @@ def _lsh_candidates(
     in every table (see the inline comment for the measured recall cost
     of two-sided capping). Capping trades recall only among items
     sharing a capped bucket; other tables can still recover the pair."""
-    qb = q.select(
-        "query_id",
-        F.explode(
-            F.array(*[_bucket_expr(F.col("_qv"), planes[t], t) for t in range(n_tables)])
-        ).alias("bucket"),
-    )
-    ib = i.select(
-        "item_id",
-        F.explode(
-            F.array(*[_bucket_expr(F.col("_iv"), planes[t], t) for t in range(n_tables)])
-        ).alias("bucket"),
-    )
+    keys = _bucket_keys_udf(planes, n_tables)
+    qb = q.select("query_id", F.explode(keys(F.col("_qv"))).alias("bucket"))
+    ib = i.select("item_id", F.explode(keys(F.col("_iv"))).alias("bucket"))
     if max_bucket is not None:
         # cap the ITEM side only: a hot cell costs |q_cell|·max_bucket
         # (linear in cluster size) instead of |cell|², and every query
@@ -440,16 +491,21 @@ def cosine_topk_lsh(
     oracle replays it verbatim.
 
     rerank picks where the exact dot runs; both produce IDENTICAL rows:
-    - 'bucket' (default): vectors ride the bucket join (once per table
-      per vector) and pairs are scored inside it, so the only pair-wide
-      exchange is the narrow (query_id, item_id, sim) dedup groupBy.
-      Pair-shuffle bytes: ~24·|cand| + n_tables·(|Q|+|I|)·dim_bytes.
-      The scale default: on clustered/near-dup corpora candidates per
-      query ≫ 2·n_tables, and the r5 10× advisory measured the rejoin
-      form at ~130 GB of shuffle for 600k clustered 64-dim vectors
-      (killed two hosts' tmpfs) vs ~4 GB for this form. A pair co-
-      bucketed in t tables is dotted t times (JVM codegen flops —
-      cheap) and deduped by max.
+    - 'bucket' (default): vectors ride the bucket shuffle (once per
+      table per vector) into cogrouped Arrow cells — one numpy matmul
+      per bucket cell emitting the cell's per-query top-k (exact: a
+      global top-k pair outranks all but <k candidates in any cell
+      containing it, and cross-table duplicates carry identical sims,
+      deduped by max) — so the only pair-wide exchange is the narrow
+      (query_id, item_id, sim) dedup groupBy, bounded at
+      |Q|·n_tables·k rows. Pair bytes: ~24·|Q|·n_tables·k +
+      n_tables·(|Q|+|I|)·dim_bytes. The scale default: on clustered/
+      near-dup corpora candidates per query ≫ 2·n_tables, and the r5
+      10× advisory measured the rejoin form at ~130 GB of shuffle for
+      600k clustered 64-dim vectors (killed two hosts' tmpfs) vs ~4 GB
+      for this form (r7: the former in-join JVM pair dot — 10M wide
+      join rows + interpreted HOF fold — measured 10.5s vs ~2s for the
+      cogrouped cells at the 30k bench shape).
     - 'rejoin': bucket join and dedup move only (bucket, id) pairs and
       vectors rejoin once per UNIQUE candidate. Wins only when
       candidates per query < 2·n_tables (highly selective setups with
@@ -469,36 +525,30 @@ def cosine_topk_lsh(
         F.col(i_id).alias("item_id"), F.col(i_vec).alias("_iv")
     ).localCheckpoint(eager=True)
     if rerank == "bucket":
-        qb = q.select(
-            "query_id",
-            "_qv",
-            F.explode(
-                F.array(
-                    *[_bucket_expr(F.col("_qv"), planes[t], t) for t in range(n_tables)]
-                )
-            ).alias("bucket"),
-        )
-        ib = i.select(
-            "item_id",
-            "_iv",
-            F.explode(
-                F.array(
-                    *[_bucket_expr(F.col("_iv"), planes[t], t) for t in range(n_tables)]
-                )
-            ).alias("bucket"),
-        )
+        keys = _bucket_keys_udf(planes, n_tables)
+        qb = q.select("query_id", "_qv", F.explode(keys(F.col("_qv"))).alias("bucket"))
+        ib = i.select("item_id", "_iv", F.explode(keys(F.col("_iv"))).alias("bucket"))
         if max_bucket is not None:
             ib = _cap_items(ib, max_bucket)
-        pair = qb.join(ib, "bucket")
-        if exclude_self:
-            pair = pair.where(F.col("query_id") != F.col("item_id"))
-        pair = pair.select(
-            "query_id", "item_id", dot_col(F.col("_qv"), F.col("_iv")).alias("sim")
+        # Score each bucket CELL in the shared cogrouped Arrow kernel (one
+        # numpy matmul per cell, 16MB-blocked) instead of materializing
+        # every (query, item) pair as a wide JVM join row and folding an
+        # interpreted per-pair dot: at the 30k×64-dim bench shape the join
+        # emitted 10M+ rows each dragging two 512B vectors (~10 GB of row
+        # copies) and the HOF dot was CodegenFallback — measured 10.5s for
+        # join+dot+dedup vs ~2s for the cogrouped form. Emitting only each
+        # cell's per-query top-k is exact: a pair in the GLOBAL top-k
+        # outranks all but <k candidates in any cell containing it (cells
+        # are candidate subsets), so it survives every cell's local top-k;
+        # cross-table duplicate pairs carry identical sims, which the
+        # existing max() dedup collapses. min_sim/self-exclusion happen
+        # in-kernel, identically to the former pre-window filters.
+        cell = _make_topk_cell_arrow(int(k), min_sim, bool(exclude_self))
+        pair = (
+            qb.groupby("bucket")
+            .cogroup(ib.groupby("bucket"))
+            .applyInArrow(cell, "query_id long, item_id long, sim double")
         )
-        if min_sim is not None:
-            pair = pair.where(F.col("sim") >= min_sim)
-        # same pair from multiple tables: sims are identical (same two
-        # vectors), max() is the dedup
         scored = pair.groupBy("query_id", "item_id").agg(F.max("sim").alias("sim"))
     else:
         cand = _lsh_candidates(q, i, planes, n_tables, exclude_self, max_bucket)

@@ -20,8 +20,56 @@ TABLES = [
 ]
 
 
+def _scan_row_groups(path: str) -> tuple[int, int]:
+    """(total_bytes, row_groups) of a local parquet file or directory.
+
+    Parquet scan parallelism is bounded by ROW GROUPS, not byte splits: a
+    byte-range split only yields the rows of row groups that START inside
+    it, so a single-row-group file is one task no matter how small
+    spark.sql.files.maxPartitionBytes is. The driver testdata tables are
+    exactly that shape (one file, one row group), which serialized every
+    per-row map over them onto one core (measured: repetition_scores 9.9s
+    on 5000 docs — all on task 0). Footer reads are local-FS, the same
+    contract as plans/loop._partition_rows.
+    """
+    import pyarrow.parquet as pq
+
+    files = (
+        [os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")]
+        if os.path.isdir(path)
+        else [path]
+    )
+    total = sum(os.path.getsize(f) for f in files)
+    groups = sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
+    return total, groups
+
+
+# fan-out applies only to SMALL inputs: a repartition of a big table would
+# be a full payload shuffle for nothing (its scan already parallelizes).
+_FANOUT_MAX_BYTES = 1 << 30
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read a testdata table, fanning small low-row-group files out to the
+    session's parallelism.
+
+    Scale-adaptive, not a local[32] constant: the repartition fires only
+    when the scan's row-group count is below defaultParallelism AND the
+    input is small (< 1 GB), i.e. exactly when the scan cannot reach the
+    cluster's parallelism on its own and the one extra (tiny) shuffle
+    buys every downstream per-row operator full fan-out. A 100 TB table
+    has thousands of row groups and never triggers this.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    par = spark.sparkContext.defaultParallelism
+    try:
+        total, groups = _scan_row_groups(path)
+    except OSError:
+        return df  # non-local path: leave the scan alone
+    if groups < par and total < _FANOUT_MAX_BYTES:
+        df = df.repartition(par)
+    return df
 
 
 def events_membership(events: DataFrame) -> DataFrame:

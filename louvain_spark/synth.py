@@ -27,6 +27,41 @@ _WORDS = np.array(
 
 _BASE_TS = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
 
+
+def _join_arrow(*parts) -> np.ndarray:
+    """Element-wise concat of str scalars / numpy string arrays via ONE
+    pyarrow C++ kernel call, returned as an object ndarray of str.
+
+    Replaces np.char.add chains, which re-allocate the full column per
+    operand (the old text build did 11 such passes). Byte-identical
+    output for ASCII and any UTF-8 content — pure concatenation.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cols = [p if isinstance(p, str) else pa.array(p) for p in parts]
+    out = pc.binary_join_element_wise(*cols, "")
+    return out.to_numpy(zero_copy_only=False)
+
+
+def _prefixed_zfill(prefix: str, ints: np.ndarray, width: int) -> np.ndarray:
+    """prefix + zero-padded decimal of non-negative ints (object ndarray) —
+    the arrow form of np.char.add(prefix, np.char.zfill(ints.astype(str), w)).
+
+    Includes np.char.zfill's U<width> dtype semantics: an int whose
+    decimal rendering EXCEEDS `width` digits is truncated to its first
+    `width` characters (the historical generator stored zfill output in a
+    U<width> array). Only the scale4 preset's last chunk reaches 7-digit
+    conv indices; preserved bit-for-bit so every preset's bytes — and the
+    committed scaling baselines — are unchanged by the arrow rewrite."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    s = pc.utf8_slice_codeunits(
+        pc.utf8_lpad(pc.cast(pa.array(ints), pa.string()), width, "0"), 0, width
+    )
+    return pc.binary_join_element_wise(prefix, s, "").to_numpy(zero_copy_only=False)
+
 PRESETS = {
     "tiny": dict(n_conv=20, seed=42),
     "small": dict(n_conv=2000, seed=42),
@@ -68,7 +103,11 @@ def transcripts_pandas(
     total = int(lengths.sum())
 
     conv_idx = np.repeat(np.arange(n_conv) + conv_offset, lengths)
-    conv_id = np.char.add("c", np.char.zfill(conv_idx.astype(str), 6))
+    # one padded string per CONVERSATION, repeated per turn (≈12× fewer
+    # string builds than padding per turn; identical values)
+    conv_id = np.repeat(
+        _prefixed_zfill("c", np.arange(n_conv) + conv_offset, 6), lengths
+    )
     # contiguous 0..len-1 per conversation (stable ordering key)
     starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
     turn_idx = (np.arange(total) - np.repeat(starts, lengths)).astype(np.int32)
@@ -87,23 +126,21 @@ def transcripts_pandas(
     # handful of hub tools dominate (skew/salting exercise).
     zipf_rank = (rng.zipf(zipf_s, size=total) - 1) % n_tools
     has_tool = (role == "assistant") & (rng.rand(total) < tool_prob)
-    tool = np.where(
-        has_tool, np.char.add("t", np.char.zfill(zipf_rank.astype(str), 3)), None
-    )
+    tool = np.where(has_tool, _prefixed_zfill("t", zipf_rank, 3), None)
 
     # text: deterministic per-turn prefix + seeded token soup; must
-    # round-trip byte-equal under (conv_id, turn_idx) ordering. Fully
-    # vectorized np.char concatenation (identical strings to the old
-    # f-string loop, ~20x faster at millions of rows).
+    # round-trip byte-equal under (conv_id, turn_idx) ordering. String
+    # assembly runs through pyarrow compute kernels (single C++ pass per
+    # column): the previous np.char.add chain re-allocated the whole
+    # 600k-row text column once per concat operand and was the dominant
+    # cost of the bench's synth_write stage (8.4s of 14.3s measured
+    # driver-side). Identical bytes — rng draws and logical values are
+    # unchanged, only the concatenation engine differs.
     soup = _WORDS[rng.randint(0, len(_WORDS), size=(total, 4))]
-    text = np.char.add("turn ", conv_id)
-    text = np.char.add(text, ":")
-    text = np.char.add(text, turn_idx.astype(str))
-    text = np.char.add(text, " ")
-    for j in range(soup.shape[1]):
-        if j:
-            text = np.char.add(text, " ")
-        text = np.char.add(text, soup[:, j])
+    text = _join_arrow(
+        "turn ", conv_id, ":", turn_idx.astype(str), " ",
+        soup[:, 0], " ", soup[:, 1], " ", soup[:, 2], " ", soup[:, 3],
+    )
 
     ts = (
         np.datetime64(_BASE_TS.replace(tzinfo=None))
