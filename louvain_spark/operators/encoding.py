@@ -134,10 +134,13 @@ def bigram_lm_scores(
     # are exact integers, so sum(c·nll_u) over distinct doc bigrams equals
     # the occurrence-row sum bit-for-bit (nll_u is already quantized to
     # integer micro-nats precisely to make summation order-free).
+    # lazy checkpoint: the first consumer's action materializes it (no
+    # separate blocking roundtrip), the second reads the blocks; freed
+    # with the frame, unlike a persist that would outlive the call
     perdoc = (
         pairs.groupBy("doc_id", "w1", "w2")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     uni = (
         toks.select(F.explode("_t").alias("w1"))

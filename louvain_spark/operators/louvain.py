@@ -257,7 +257,14 @@ def _one_level_parallel(
     )
     sym = sym.persist()
 
-    assign = ids.select("id", F.col("id").alias("community")).localCheckpoint(eager=True)
+    # the sweep-state parquet carries (id, community, k): k is loop-
+    # invariant, and folding it into the checkpointed state removes one
+    # |V|-dimension join (+ its broadcast build stage) from EVERY sweep's
+    # plan — per-sweep wall is dominated by the count of sequential query
+    # stages, not data volume (r7 probe: 137 jobs ≈ 0.2s each)
+    assign = k.select(
+        "id", F.col("id").alias("community"), "k"
+    ).localCheckpoint(eager=True)
     res, mm, lvl, sd = float(resolution), float(m), int(level), int(seed)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -313,47 +320,40 @@ def _one_level_parallel(
             def _mark(label):
                 pass
         # ONE combined per-vertex dimension per sweep — (id, community, k,
-        # Σ_tot of its community) — materialized once and joined twice
-        # (src side and dst side). The dimension is |V|-sized, tiny next
-        # to the edge table: below broadcast_nodes it ships as broadcast
-        # hash joins, so the only shuffle per sweep is the groupBy(_blk)
-        # feeding the kernel; above it, fall back to shuffle joins (the
-        # same size regime where a real cluster would).
+        # Σ_tot of its community) — joined twice (src side and dst side)
+        # through TWO ALIASES OF THE IDENTICAL SUBTREE, both keyed on id:
+        # the canonicalized broadcast exchange is the same on both sides,
+        # so Spark's exchange/stage reuse builds it ONCE per sweep (the
+        # former per-side projections defeated reuse and paid two
+        # broadcast builds plus a cache-fill stage). The dimension is
+        # |V|-sized, tiny next to the edge table: below broadcast_nodes
+        # it ships as broadcast hash joins, so the only shuffle per sweep
+        # is the groupBy(_blk) feeding the kernel; above it, fall back to
+        # shuffle joins (the same size regime where a real cluster would).
         use_bc = n_nodes <= broadcast_nodes
         jb = F.broadcast if use_bc else (lambda df: df)
-        base = assign.join(k.select("id", "k"), "id")
-        tot = base.groupBy("community").agg(F.sum("k").alias("tot"))
-        # persist (lazy), NOT an eager localCheckpoint: the dim is consumed
-        # twice (src/dst broadcast sides) *inside the sweep's single
-        # action* — the first broadcast stage materializes the cache, the
-        # second reads it. An eager checkpoint here was a second driver-
-        # blocking job per sweep, i.e. pure serial floor that capped N→4N
-        # scaling efficiency (VERDICT r2 #5). No stats hazard: assign is
-        # parquet-backed each sweep, so this lineage is one level deep.
-        dim = base.join(jb(tot), "community").select(
-            "id", "community", "k", "tot"
-        ).persist()
+        tot = assign.groupBy("community").agg(F.sum("k").alias("tot"))
+        dim = assign.join(jb(tot), "community").select("id", "community", "k", "tot")
+        dd, ds = dim.alias("_dd"), dim.alias("_ds")
         tagged = (
-            sym.join(
-                jb(
-                    dim.select(
-                        F.col("id").alias("dst"),
-                        F.col("community").alias("cd"),
-                        F.col("tot").alias("tot_cd"),
-                    )
-                ),
-                "dst",
-            )
-            .join(
-                jb(
-                    dim.select(
-                        F.col("id").alias("src"),
-                        F.col("community").alias("cu"),
-                        "k",
-                        F.col("tot").alias("tot_cu"),
-                    )
-                ),
+            sym.join(jb(dd), F.col("dst") == F.col("_dd.id"))
+            .select(
                 "src",
+                "dst",
+                "w",
+                F.col("_dd.community").alias("cd"),
+                F.col("_dd.tot").alias("tot_cd"),
+            )
+            .join(jb(ds), F.col("src") == F.col("_ds.id"))
+            .select(
+                "src",
+                "dst",
+                "w",
+                "cd",
+                "tot_cd",
+                F.col("_ds.community").alias("cu"),
+                F.col("_ds.k").alias("k"),
+                F.col("_ds.tot").alias("tot_cu"),
             )
             .withColumn("_blk", F.pmod(F.xxhash64("src"), F.lit(n_blocks)).cast("int"))
             .withColumn("_sweep", F.lit(sweep))
@@ -377,19 +377,19 @@ def _one_level_parallel(
             .select(
                 "id",
                 F.coalesce("new_com", "community").alias("community"),
+                "k",
                 F.col("new_com").isNotNull().alias("_m"),
             )
             .observe(
                 obs, F.coalesce(F.sum(F.col("_m").cast("long")), F.lit(0)).alias("n")
             )
-            .select("id", "community")
+            .select("id", "community", "k")
         )
         assign = _stats_reset(spark, merged, ckpt_dir, f"assign-l{level}-s{sweep}")
         moved = int(obs.get["n"])
         # frees sweep 0's initial eager localCheckpoint blocks (|V|-sized);
         # later sweeps' prev_assign is parquet-backed — a no-op there
         prev_assign.unpersist()
-        dim.unpersist()
         _mark("sweep-action")
         if _DBG:
             qe = assign._jdf.queryExecution()
@@ -416,6 +416,7 @@ def _one_level_parallel(
             # merge rides the same action) — keep them, stop sweeping
             break
 
+    assign = assign.select("id", "community")  # drop the loop-carried k
     mod = q_mod(e.withColumnRenamed("w", "weight"), assign, resolution, "weight")
     e.unpersist()
     k.unpersist()

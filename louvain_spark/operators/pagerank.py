@@ -95,26 +95,42 @@ def pagerank(
     else:
         ranks = ids.select("id", F.lit(1.0 / n).alias("score"))
         ranks = runner.advance(StepResult(ranks))
-    # dangling = vertices with no out-edges; mark once (tiny, loop-invariant)
-    dangle_ids = ids.join(
-        out_strength.select(F.col("src").alias("id")).hint("shuffle_hash"),
-        "id", "left_anti",
-    ).withColumn("_dangling", F.lit(True)).localCheckpoint(eager=True)
-    dangling = ranks.join(dangle_ids, "id", "left_semi").agg(
-        F.coalesce(F.sum("score"), F.lit(0.0))
-    ).collect()[0][0]
-    # fold the loop-invariant (ids ⋈ dangling-flag) ONCE: each superstep
-    # then plans 3 joins instead of 4 — per-superstep plan+schedule time is
-    # pure serial floor in the N→4N scaling budget
-    iddang = ids.join(dangle_ids.select("id", "_dangling"), "id", "left")
+    # fold the loop-invariant (ids ⋈ dangling-flag) dimension in ONE
+    # materialization (_dangling = True for vertices with no out-edge,
+    # NULL otherwise — the exact shape the former dangle_ids left join
+    # produced): each superstep plans 3 joins instead of 4, and the
+    # setup pays one eager action where it paid two plus a collect —
+    # per-run serial floor, the N→4N scaling budget (r3 VERDICT #5).
+    iddang = ids.join(
+        out_strength.select(F.col("src").alias("id"), F.lit(True).alias("_out"))
+        .hint("shuffle_hash"),
+        "id",
+        "left",
+    ).select("id", F.when(F.col("_out").isNull(), F.lit(True)).alias("_dangling"))
     iddang = iddang.localCheckpoint(eager=True)
+    # initial dangling mass: an IN-PLAN 1-row aggregate consumed by the
+    # first batch as a broadcast fold (the same mechanism in-batch steps
+    # already use) — not a driver collect; identical double (same agg
+    # plan, same division) without the extra blocking job
+    dangling = None
+    dm0 = ranks.join(iddang.where("_dangling"), "id", "left_semi").agg(
+        F.coalesce(F.sum("score"), F.lit(0.0)).alias("_dm")
+    )
 
     spa = max(1, int(steps_per_action))
     done = 0
     while done < max_iter:
         batch = min(spa, max_iter - done)
         cur, inner = ranks, []
-        dang_over_n = F.lit(dangling / n)  # observed scalar for step 0
+        if dangling is None:
+            # first batch: dangling mass rides the plan as the dm0
+            # broadcast fold (no setup collect); later batches use the
+            # scalar observed on the previous batch's action
+            dang_over_n = F.col("_dm") / F.lit(float(n))
+            base0 = iddang.crossJoin(F.broadcast(dm0))
+        else:
+            dang_over_n = F.lit(dangling / n)  # observed scalar for step 0
+            base0 = iddang
         scored = None
         for s in range(batch):
             contribs = (
@@ -122,7 +138,7 @@ def pagerank(
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.sum(F.col("frac") * F.col("score")).alias("c"))
             )
-            base = iddang if s == 0 else iddang.crossJoin(F.broadcast(dm))
+            base = base0 if s == 0 else iddang.crossJoin(F.broadcast(dm))
             score_expr = (
                 F.lit((1.0 - damping) / n)
                 + F.lit(damping)

@@ -162,6 +162,106 @@ def corpus_stats(
 
 
 def repetition_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    impl: str = "arrow",
+) -> DataFrame:
+    """Gopher-style repetition signals per document — Arrow-batched
+    kernel by default (guide §4.2), with the original pure-Catalyst
+    expression form retained as impl='expr' (the semantics spec and the
+    parity-test twin; the DuckDB oracle replays that form).
+
+    Why a Python kernel here, against the repo's JVM-first bias:
+    Catalyst higher-order functions (transform/aggregate/array_sort
+    folds) are CodegenFallback — interpreted per ELEMENT with per-call
+    allocation — and this operator is nothing but such folds. Measured
+    ~2ms/doc on ~300-char docs (r7, single task), vs ~25µs/doc for the
+    batch kernel: a 100 TB corpus pays that 80× on every core. The
+    kernel is still a pure row-local map over Arrow batches — zero
+    shuffle, same scale shape. Outputs are IDENTICAL: counts are exact
+    integers, each fraction is one int/int double division, Python
+    `len` and Spark `length` both count code points, and Java and
+    Python agree on the ASCII token regex (parity pinned by
+    tests over unicode/newline/empty/null edge cases and the driver's
+    repetition_docs oracle hash).
+
+    See _repetition_scores_expr for the signal definitions.
+    """
+    if impl == "expr":
+        return _repetition_scores_expr(docs, id_col, text_col)
+    if impl != "arrow":
+        raise ValueError(f"unknown repetition_scores impl: {impl!r}")
+    from pyspark.sql import types as T
+
+    id_type = docs.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", id_type),
+            T.StructField("n_lines", T.IntegerType()),
+            T.StructField("n_words", T.IntegerType()),
+            T.StructField("dup_line_frac", T.DoubleType()),
+            T.StructField("dup_line_char_frac", T.DoubleType()),
+            T.StructField("top_bigram_char_frac", T.DoubleType()),
+            T.StructField("dup_5gram_frac", T.DoubleType()),
+        ]
+    )
+    sel = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+    )
+
+    def gen(batches):
+        import re
+        from collections import Counter
+
+        import pandas as pd
+
+        tok_re = re.compile(TOKEN_RE)
+        for pdf in batches:
+            n_lines, n_words = [], []
+            dlf, dlcf, tbcf, d5f = [], [], [], []
+            for t in pdf["_t"]:
+                lines = [l for l in t.split("\n") if l]
+                nl = len(lines)
+                dlines = set(lines)
+                line_chars = sum(map(len, lines))
+                dline_chars = sum(map(len, dlines))
+                toks = tok_re.findall(t)
+                nw = len(toks)
+                word_chars = sum(map(len, toks))
+                if nw >= 5:
+                    n5 = nw - 4
+                    d5 = len({tuple(toks[i : i + 5]) for i in range(n5)})
+                else:
+                    n5 = d5 = 0
+                if nw >= 2:
+                    cnt = Counter(zip(toks, toks[1:]))
+                    best = max(c * (len(a) + len(b)) for (a, b), c in cnt.items())
+                else:
+                    best = 0
+                n_lines.append(nl)
+                n_words.append(nw)
+                dlf.append((nl - len(dlines)) / max(nl, 1))
+                dlcf.append((line_chars - dline_chars) / max(line_chars, 1))
+                tbcf.append(best / max(word_chars, 1))
+                d5f.append((n5 - d5) / max(n5, 1))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_lines": pd.array(n_lines, dtype="int32"),
+                    "n_words": pd.array(n_words, dtype="int32"),
+                    "dup_line_frac": dlf,
+                    "dup_line_char_frac": dlcf,
+                    "top_bigram_char_frac": tbcf,
+                    "dup_5gram_frac": d5f,
+                }
+            )
+
+    return sel.mapInPandas(gen, schema)
+
+
+def _repetition_scores_expr(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Gopher-style repetition signals per document (Rae et al. 2021,

@@ -40,34 +40,50 @@ def _scan_row_groups(path: str) -> tuple[int, int]:
         else [path]
     )
     total = sum(os.path.getsize(f) for f in files)
-    groups = sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
-    return total, groups
+    groups = rows = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        groups += md.num_row_groups
+        rows += md.num_rows
+    return total, groups, rows
 
 
 # fan-out applies only to SMALL inputs: a repartition of a big table would
 # be a full payload shuffle for nothing (its scan already parallelizes).
 _FANOUT_MAX_BYTES = 1 << 30
+# ...and only to PAYLOAD-HEAVY rows: the repartition's payoff is parallel
+# per-row compute (regex/tokenize/HOF over text or vector cells), which
+# scales with bytes per row. Narrow numeric fact rows (orders/lineitem:
+# ~18 B/row) aggregate map-side faster than the extra exchange costs —
+# measured +0.3-0.7s per relational stage with an unconditional fan-out
+# (pricing_summary 0.25→0.92s) vs 6-10× wins on the text/vector tables.
+_FANOUT_MIN_BYTES_PER_ROW = 48
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read a testdata table, fanning small low-row-group files out to the
-    session's parallelism.
+    """Read a testdata table, fanning small low-row-group payload-heavy
+    files out to the session's parallelism.
 
     Scale-adaptive, not a local[32] constant: the repartition fires only
-    when the scan's row-group count is below defaultParallelism AND the
-    input is small (< 1 GB), i.e. exactly when the scan cannot reach the
-    cluster's parallelism on its own and the one extra (tiny) shuffle
-    buys every downstream per-row operator full fan-out. A 100 TB table
-    has thousands of row groups and never triggers this.
+    when the scan's row-group count is below defaultParallelism (so the
+    scan cannot reach the cluster's parallelism on its own), the input is
+    small (< 1 GB: the extra shuffle is near-free), and rows are payload-
+    heavy (≥ ~48 B/row: the downstream per-row work, not the aggregate,
+    dominates). A 100 TB table has thousands of row groups and never
+    triggers this.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     par = spark.sparkContext.defaultParallelism
     try:
-        total, groups = _scan_row_groups(path)
+        total, groups, rows = _scan_row_groups(path)
     except OSError:
         return df  # non-local path: leave the scan alone
-    if groups < par and total < _FANOUT_MAX_BYTES:
+    if (
+        groups < par
+        and total < _FANOUT_MAX_BYTES
+        and total >= _FANOUT_MIN_BYTES_PER_ROW * max(rows, 1)
+    ):
         df = df.repartition(par)
     return df
 

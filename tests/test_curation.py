@@ -179,3 +179,29 @@ def test_strip_boilerplate_offender_join_broadcast_gate(spark):
     plan_f = forced._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in plan_f.split("== Final Plan ==")[-1], plan_f
     assert sorted(map(tuple, forced.collect())) == a
+
+
+def test_repetition_scores_arrow_matches_expr(spark):
+    """The Arrow batch kernel (default) must reproduce the Catalyst
+    expression form bit-for-bit — including unicode/multibyte text
+    (code-point lengths), astral-plane chars, apostrophe tokens,
+    newline-only and null/empty docs, and <2/<5-token edges."""
+    rows = [
+        (1, "aa bb\naa bb\ncc dd cc dd cc dd"),
+        (2, "x y x y x y x y"),
+        (3, None),
+        (4, ""),
+        (5, "   \n\n  "),
+        (6, "héllo wörld héllo wörld héllo"),
+        (7, "日本語のテキスト\n日本語のテキスト\nabc def abc def abc"),
+        (8, "one_token"),
+        (9, "a b c d"),
+        (10, "don't stop don't stop don't stop me now"),
+        (11, "𝄞clef 𝄞clef text text text text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    from louvain_spark.operators.textstats import repetition_scores as rs
+
+    a = {r["doc_id"]: r.asDict() for r in rs(df, impl="arrow").collect()}
+    b = {r["doc_id"]: r.asDict() for r in rs(df, impl="expr").collect()}
+    assert a == b
