@@ -41,6 +41,9 @@ def pii_scrub(
     redaction passes sequentially in PII_PASSES order. Pure row-local
     regexp work — zero shuffle, fuses into the scan at any scale.
     """
+    from louvain_spark.plans.fanout import apply_scan_fanout
+
+    docs = apply_scan_fanout(docs)  # 6 regex passes/row — scan-parallel wins
     t = F.coalesce(F.col(text_col), F.lit(""))
     clean = t
     counts = []

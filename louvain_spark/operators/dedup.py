@@ -124,6 +124,11 @@ def minhash_signatures(
     String-min over md5 hex is engine-portable (DuckDB md5 == Spark md5),
     unlike xxhash64; any uniform hash family gives the Jaccard estimate.
     """
+    from louvain_spark.plans.fanout import apply_scan_fanout
+
+    # num_hashes md5 folds per shingle dominate the scan stage (~6s serial
+    # at 5k docs) — fan a single-row-group source out before the explode
+    docs = apply_scan_fanout(docs)
     sh = shingles(docs, id_col, text_col, n)
     mins = sh.groupBy("doc_id").agg(
         F.array(
@@ -350,6 +355,10 @@ def simhash_signatures(
     batch). hash_name='fnv' for cross-run determinism (pytest oracle),
     'md5' for DuckDB-replayable signatures.
     """
+
+    from louvain_spark.plans.fanout import apply_scan_fanout
+
+    docs = apply_scan_fanout(docs)
 
     @F.pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:

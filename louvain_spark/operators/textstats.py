@@ -194,6 +194,10 @@ def repetition_scores(
         raise ValueError(f"unknown repetition_scores impl: {impl!r}")
     from pyspark.sql import types as T
 
+    from louvain_spark.plans.fanout import apply_scan_fanout
+
+    docs = apply_scan_fanout(docs)  # ~25-50µs/doc of kernel work per row
+
     id_type = docs.schema[id_col].dataType
     schema = T.StructType(
         [

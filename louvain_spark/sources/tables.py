@@ -61,16 +61,25 @@ _FANOUT_MIN_BYTES_PER_ROW = 48
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read a testdata table, fanning small low-row-group payload-heavy
-    files out to the session's parallelism.
+    """Read a testdata table, MARKING small low-row-group payload-heavy
+    files for fan-out to the session's parallelism (plans/fanout.py).
 
-    Scale-adaptive, not a local[32] constant: the repartition fires only
-    when the scan's row-group count is below defaultParallelism (so the
-    scan cannot reach the cluster's parallelism on its own), the input is
-    small (< 1 GB: the extra shuffle is near-free), and rows are payload-
-    heavy (≥ ~48 B/row: the downstream per-row work, not the aggregate,
-    dominates). A 100 TB table has thousands of row groups and never
-    triggers this.
+    Scale-adaptive, not a local[32] constant: the mark is set only when
+    the scan's row-group count is below defaultParallelism (parquet scan
+    parallelism is bounded by row groups, so the scan cannot reach the
+    cluster's parallelism on its own), the input is small (< 1 GB: the
+    extra shuffle is near-free), and rows are payload-heavy (≥ ~48 B/row).
+    A 100 TB table has thousands of row groups and never triggers this.
+
+    The mark, not the repartition itself: only load() sees the file
+    footers, but whether the extra exchange PAYS depends on the consumer.
+    Per-row-CPU-heavy operators (repetition/PII regex passes, shingle
+    minhash — ~ms/row of expression work that otherwise runs on ONE task)
+    opt in via plans.fanout.apply_scan_fanout and win 5-8×; aggregation-
+    dominated consumers (vocab/TF-IDF/LM explode+combine, window packing,
+    sampling) skip it — measured +0.1-0.8s per stage when the source
+    repartitioned unconditionally (the exchange re-executes on every
+    action and AQE cannot coalesce a user-specified repartition).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
@@ -84,7 +93,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         and total < _FANOUT_MAX_BYTES
         and total >= _FANOUT_MIN_BYTES_PER_ROW * max(rows, 1)
     ):
-        df = df.repartition(par)
+        df._scan_fanout = par  # consumed by plans.fanout.apply_scan_fanout
     return df
 
 
