@@ -36,13 +36,12 @@ def dense_sorted_rank(
     # caller's whole distinct/shuffle lineage a second time (the sampling
     # job itself materializes the cache — no extra count pass)
     src = df.persist()
-    # eager localCheckpoint (NOT persist): the collected per-partition
-    # counts bake this exact layout into the offset expression, and a
-    # persisted frame whose cached blocks are evicted would re-run the
-    # range sampler and may pick different boundaries — silently wrong ids.
-    # Checkpoint blocks are never recomputed: lost blocks FAIL the job
-    # instead, and are freed with the frame (no persist leak in either
-    # checkpoint branch).
+    # eager localCheckpoint (NOT persist): the offsets below derive from
+    # this exact layout, and a persisted frame whose cached blocks are
+    # evicted would re-run the range sampler and may pick different
+    # boundaries — silently wrong ids. Checkpoint blocks are never
+    # recomputed: lost blocks FAIL the job instead, and are freed with
+    # the frame (no persist leak in either checkpoint branch).
     parts = (
         src.repartitionByRange(partitions, order_col)
         .sortWithinPartitions(order_col)
@@ -50,19 +49,23 @@ def dense_sorted_rank(
         .localCheckpoint(eager=True)
     )
     src.unpersist()
-    counts = {
-        r["_pid"]: r["cnt"]
-        for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
-    off_expr = F.lit(0)
-    acc = 0
-    for pid in sorted(counts):
-        if acc:
-            off_expr = F.when(F.col("_pid") == pid, F.lit(acc)).otherwise(off_expr)
-        acc += counts[pid]
+    # per-partition offsets IN-PLAN (r7): a running sum over the ≤
+    # `partitions`-row count table, broadcast-joined back on _pid. The
+    # former driver-side counts collect() was a separate blocking job +
+    # python round-trip per rank call (~0.2s each, and every dictionary
+    # build pays it); the offsets table rides the consumer's own action
+    # as a broadcast build instead. The single-task window is over at
+    # most `partitions` rows — a user parameter, never data-sized.
+    cnts = parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    a, b = cnts.alias("_ra"), cnts.alias("_rb")
+    offs = (
+        a.join(b, F.col("_rb._pid") < F.col("_ra._pid"), "left")
+        .groupBy(F.col("_ra._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("_rb._cnt"), F.lit(0)).alias("_off"))
+    )
     w = Window.partitionBy("_pid").orderBy(order_col)
-    out = parts.select(
-        (F.row_number().over(w) - 1 + off_expr).cast("long").alias(id_col),
+    out = parts.join(F.broadcast(offs), "_pid").select(
+        (F.row_number().over(w) - 1 + F.col("_off")).cast("long").alias(id_col),
         *[c for c in df.columns],
     )
     if checkpoint:
