@@ -342,8 +342,17 @@ def _one_level_parallel(
         # shuffle joins (the same size regime where a real cluster would).
         use_bc = n_nodes <= broadcast_nodes
         jb = F.broadcast if use_bc else (lambda df: df)
-        tot = assign.groupBy("community").agg(F.sum("k").alias("tot"))
-        dim = assign.join(jb(tot), "community").select("id", "community", "k", "tot")
+        # Σ_tot via a window over the checkpointed assign state — ONE
+        # exchange (community) inside the dim broadcast's build job. The
+        # former groupBy(tot)+join form paid two sequential broadcast
+        # builds per sweep (tot, then assign⋈tot); identical values, the
+        # window sum is over the same groups (r7 barrier trim).
+        from pyspark.sql import Window as _W
+
+        dim = assign.select(
+            "id", "community", "k",
+            F.sum("k").over(_W.partitionBy("community")).alias("tot"),
+        )
         dd, ds = dim.alias("_dd"), dim.alias("_ds")
         tagged = (
             sym.join(jb(dd), F.col("dst") == F.col("_dd.id"))
@@ -382,8 +391,14 @@ def _one_level_parallel(
         # root select executes exactly once, in the write job
         obs = Observation()
         prev_assign = assign
+        # moved_df merges via a shuffle-hash join, NOT broadcast: a
+        # broadcast of the kernel's output would run the whole
+        # tagged-join + kernel pipeline as a separate broadcast-build
+        # job before the write job could start; the shuffle join keeps
+        # kernel and write inside ONE action (and is the right shape
+        # above the broadcast gate anyway — both sides key on id).
         merged = (
-            prev_assign.join(jb(moved_df), "id", "left")
+            prev_assign.join(moved_df.hint("shuffle_hash"), "id", "left")
             .select(
                 "id",
                 F.coalesce("new_com", "community").alias("community"),
