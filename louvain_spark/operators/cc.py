@@ -34,7 +34,14 @@ def _tag_min(df: DataFrame, impl: str) -> DataFrame:
 
         return df.withColumn("_mn", F.min("dst").over(Window.partitionBy("src")))
     mins = df.groupBy("src").agg(F.min("dst").alias("_mn"))
-    return df.join(mins, "src")
+    # shuffle-hash pin: mins is |V|-sized — left to AQE this join can
+    # pick a |V|-row broadcast whose driver-side build OOMs at tight
+    # per-core memory and never fits a 100 TB graph (the same pin as
+    # pagerank's out_strength join). Both sides key on src and mins is
+    # already hash-partitioned on src by its own groupBy, so the hint
+    # reuses that exchange; bench-scale wall measured neutral (r7 A/B:
+    # 2.01s vs 2.00s warm best-of-3).
+    return df.join(mins.hint("shuffle_hash"), "src")
 
 
 def _large_star(edges: DataFrame, impl: str = "groupby", dedup: bool = False) -> DataFrame:

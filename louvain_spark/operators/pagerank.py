@@ -88,7 +88,18 @@ def pagerank(
     )
     frac.count()
 
-    jb = F.broadcast if n <= broadcast_nodes else (lambda df: df)
+    # Rank/contrib dimension joins ship as SHUFFLE-HASH, not broadcast
+    # (r7 barrier trim): every broadcast of a per-step table (cur ranks,
+    # contribs, old scores) is a separate blocking broadcast-build job —
+    # ~6 driver barriers per 2-step batch. With shuffle-hash hints the
+    # whole batch runs as ONE action, and the exchanges are mostly free:
+    # frac is already hash-partitioned on src by its build join, and
+    # iddang/contribs/checkpointed ranks are partitioned on id, so
+    # exchange reuse elides most of the hinted shuffles. Bytes argument
+    # holds at every scale: exchanging the |V|-row dimension once beats
+    # broadcasting it to every executor (and above broadcast_nodes this
+    # was already the join shape).
+    jb = lambda df: df.hint("shuffle_hash")  # noqa: E731
 
     if start_state is not None:
         ranks = start_state
