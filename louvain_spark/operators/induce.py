@@ -199,25 +199,53 @@ def cooccurrence_edges(
             pairs = a.join(b, on="conv_id").where(F.col("a.id") < F.col("b.id"))
     else:
         band = max(int(window), 1)  # window=0 → same-turn only; band by turn
+        # 2-band replication (r7; was 3-band): the b side explodes only to
+        # {its band, its band + 1}, so an occurrence pair spanning adjacent
+        # bands meets exactly once with a = the LATER-band occurrence (b
+        # replicated up into a's band), and a same-band pair — which the
+        # join produces in both role orders — keeps exactly one order via
+        # the (turn_idx, id) lexicographic tiebreak. Probe volume drops by
+        # a third vs replicating b to {-1,0,+1} with the a.id<b.id filter;
+        # the (src,dst,conv) set after canonicalization is IDENTICAL
+        # (verified exceptAll-equal both ways at the bench shape, and the
+        # distinct absorbs occurrence-pair multiplicity differences).
+        # shuffle_hash on the unreplicated a side: the planner's default
+        # sort-merge pays an O(n log n) sort of BOTH shuffled sides on the
+        # (conv_id, _b) string key; hashing the smaller side skips it
+        # (measured 3.2s → 1.7s for the full pair phase at 11.4M pairs).
         a = m.withColumn("_b", (F.col("turn_idx") / band).cast("long")).alias("a")
         b = (
             m.withColumn(
                 "_b", F.explode(F.array(*[
-                    ((F.col("turn_idx") / band).cast("long") + d) for d in (-1, 0, 1)
+                    ((F.col("turn_idx") / band).cast("long") + d) for d in (0, 1)
                 ]))
             )
         ).alias("b")
         pairs = (
-            a.join(b, on=[a["conv_id"] == b["conv_id"], a["_b"] == b["_b"]])
-            .where(F.col("a.id") < F.col("b.id"))
+            a.hint("shuffle_hash")
+            .join(b, on=[a["conv_id"] == b["conv_id"], a["_b"] == b["_b"]])
             .where(F.abs(F.col("a.turn_idx") - F.col("b.turn_idx")) <= window)
+            .where(F.col("a.id") != F.col("b.id"))
+            .where(
+                (
+                    F.struct(F.col("a.turn_idx"), F.col("a.id"))
+                    < F.struct(F.col("b.turn_idx"), F.col("b.id"))
+                )
+                | ((F.col("b.turn_idx") / band).cast("long") != F.col("b._b"))
+            )
+        )
+        proj = pairs.select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("src"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("dst"),
+            F.col("a.conv_id").alias("conv_id"),
         )
 
-    proj = pairs.select(
-        F.col("a.id").alias("src"),
-        F.col("b.id").alias("dst"),
-        F.col("a.conv_id").alias("conv_id"),
-    )
+    if window is None:
+        proj = pairs.select(
+            F.col("a.id").alias("src"),
+            F.col("b.id").alias("dst"),
+            F.col("a.conv_id").alias("conv_id"),
+        )
     # distinct on (src,dst,conv) carries conv_id in the shuffle key → no hot
     # key; the final count has map-side combine. etypes (the reference's
     # COLLECT(DISTINCT type(r)), /root/reference/tool/Neo4jLouvainProcessor.py:202-203)
