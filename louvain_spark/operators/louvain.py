@@ -410,6 +410,10 @@ def _one_level_parallel(
             )
             .select("id", "community", "k")
         )
+        if sweep == 1:  # steady-state sweep plan (plans/r07 capture)
+            from louvain_spark.plans.explain import dump as _dump
+
+            _dump(merged, "louvain_sweep")
         assign = _stats_reset(spark, merged, ckpt_dir, f"assign-l{level}-s{sweep}")
         moved = int(obs.get["n"])
         # frees sweep 0's initial eager localCheckpoint blocks (|V|-sized);
