@@ -204,6 +204,8 @@ def _one_level_parallel(
     min_moved_frac: float = 0.02,
     ckpt_dir: str | None = None,
     broadcast_nodes: int = 4_000_000,
+    total_w: float | None = None,
+    n_nodes: int | None = None,
 ) -> tuple[DataFrame, float]:
     """Block-parallel local-move phase (Grappolo-style, the north-star shape).
 
@@ -220,12 +222,17 @@ def _one_level_parallel(
 
     e = edges.persist()
     _dbg_mark("par-setup-start")
-    m = e.agg(F.sum("w")).collect()[0][0]
+    # total weight and vertex count are loop/level invariants the caller
+    # usually already knows (Σw survives coarsening exactly; auto mode
+    # counts ids for its threshold gate) — accept them to skip the
+    # duplicate per-level aggregate/count jobs (r7)
+    m = total_w if total_w is not None else e.agg(F.sum("w")).collect()[0][0]
     if not m:
         assign = ids.select("id", F.col("id").alias("community"))
         e.unpersist()
         return assign, 0.0
-    n_nodes = ids.count()
+    if n_nodes is None:
+        n_nodes = ids.count()
     if n_blocks is None:
         # scale block count to the graph: coarse levels collapse to one
         # block (sequential local moves → guaranteed convergence, the
@@ -467,7 +474,7 @@ def _dispatch_one_level(spark, mode, ckpt_base, parallel_opts):
     rank entirely; parallel levels still need it.
     """
 
-    def run_exact(spark, e, ids, resolution, seed, level):
+    def run_exact(spark, e, ids, resolution, seed, level, total_w=None, n_nodes=None):
         assign, mod = _one_level_exact(spark, e, ids, resolution, seed, level)
         return assign, mod, False
 
@@ -476,9 +483,10 @@ def _dispatch_one_level(spark, mode, ckpt_base, parallel_opts):
     popts = dict(parallel_opts or {})
     auto_exact_max = popts.pop("auto_exact_max", None)
 
-    def run_parallel(spark, e, ids, resolution, seed, level):
+    def run_parallel(spark, e, ids, resolution, seed, level, total_w=None, n_nodes=None):
         assign, mod = _one_level_parallel(
-            spark, e, ids, resolution, seed, level, ckpt_dir=ckpt_base, **popts
+            spark, e, ids, resolution, seed, level, ckpt_dir=ckpt_base,
+            total_w=total_w, n_nodes=n_nodes, **popts
         )
         return assign, mod, True
 
@@ -490,10 +498,11 @@ def _dispatch_one_level(spark, mode, ckpt_base, parallel_opts):
     if threshold is None:
         threshold = popts.get("block_target", 64) * spark.sparkContext.defaultParallelism
 
-    def run_auto(spark, e, ids, resolution, seed, level):
-        if ids.count() <= threshold:
+    def run_auto(spark, e, ids, resolution, seed, level, total_w=None, n_nodes=None):
+        n = n_nodes if n_nodes is not None else ids.count()
+        if n <= threshold:
             return run_exact(spark, e, ids, resolution, seed, level)
-        return run_parallel(spark, e, ids, resolution, seed, level)
+        return run_parallel(spark, e, ids, resolution, seed, level, total_w=total_w, n_nodes=n)
 
     return run_auto
 
@@ -549,7 +558,9 @@ def louvain(
         return assign, 0.0
 
     # level 0 (always kept, as in python-louvain generate_dendrogram)
-    assign, mod, needs_rn = one_level(spark, e, ids, resolution, seed, 0)
+    assign, mod, needs_rn = one_level(
+        spark, e, ids, resolution, seed, 0, total_w=float(total_w)
+    )
     _dbg_mark("level0-done")
     if needs_rn:
         assign = _renumber(assign)
@@ -563,7 +574,7 @@ def louvain(
     mapping, mod = _level_loop(
         spark, one_level, runner, ckpt_base, mapping, mod, cur_edges,
         start_level=1, max_levels=max_levels, resolution=resolution,
-        seed=seed, min_gain=min_gain,
+        seed=seed, min_gain=min_gain, total_w=float(total_w),
     )
     ids.unpersist()
     return mapping, float(mod)
@@ -571,7 +582,7 @@ def louvain(
 
 def _level_loop(
     spark, one_level, runner, ckpt_base, mapping, mod, cur_edges,
-    start_level, max_levels, resolution, seed, min_gain,
+    start_level, max_levels, resolution, seed, min_gain, total_w=None,
 ):
     """Dendrogram levels ≥ 1 (shared by louvain() and resume_louvain())."""
     for level in range(start_level, max_levels):
@@ -582,7 +593,7 @@ def _level_loop(
         )
         _dbg_mark(f"level{level}-ids-ready")
         assign, new_mod, needs_rn = one_level(
-            spark, cur_edges, cur_ids, resolution, seed, level
+            spark, cur_edges, cur_ids, resolution, seed, level, total_w=total_w
         )
         _dbg_mark(f"level{level}-done")
         if new_mod - mod < min_gain:
