@@ -514,16 +514,18 @@ def cosine_topk_lsh(
     if rerank not in ("bucket", "rejoin"):
         raise ValueError("rerank must be 'bucket' or 'rejoin'")
     planes = rademacher_planes(dim, n_planes, n_tables, seed)
-    # snapshot both sides (eager localCheckpoint): each is consumed twice —
-    # once by the bucketing branch, once by the scoring rejoin — and
-    # without a snapshot the callers' upstream lineage (often a pandas-UDF
-    # featurize) would execute twice per side
-    q = queries.select(
-        F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv")
-    ).localCheckpoint(eager=True)
-    i = items.select(
-        F.col(i_id).alias("item_id"), F.col(i_vec).alias("_iv")
-    ).localCheckpoint(eager=True)
+    # rejoin mode consumes each side twice (bucketing branch + scoring
+    # rejoin), so it snapshots both to keep the callers' upstream lineage
+    # (often a pandas-UDF featurize) from executing twice per side. In
+    # bucket mode the vectors RIDE the bucket rows — one consumer per
+    # side — so a snapshot is a pure extra materialization pass and is
+    # skipped (r7; results identical either way, checkpoints are
+    # value-neutral).
+    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv"))
+    i = items.select(F.col(i_id).alias("item_id"), F.col(i_vec).alias("_iv"))
+    if rerank == "rejoin":
+        q = q.localCheckpoint(eager=True)
+        i = i.localCheckpoint(eager=True)
     if rerank == "bucket":
         keys = _bucket_keys_udf(planes, n_tables)
         qb = q.select("query_id", "_qv", F.explode(keys(F.col("_qv"))).alias("bucket"))
@@ -699,9 +701,13 @@ def cosine_topk_ivf(
     bounds a hot list's per-cell item count via hash chunking).
     Deterministic end to end; pass `centroids` to reuse a trained index.
     """
-    q = queries.select(
-        F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv")
-    ).localCheckpoint(eager=True)
+    # q has exactly ONE consumer (the probe explode below), so its
+    # lineage executes once with or without a snapshot — the former
+    # eager localCheckpoint was a pure extra materialization pass
+    # (measured 0.65s of the stage's cold wall at the 30k bench shape).
+    # i keeps its snapshot: it feeds both the bounded training sample
+    # and the assignment pass.
+    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv"))
     i = items.select(
         F.col(i_id).alias("item_id"), F.col(i_vec).alias("_iv")
     ).localCheckpoint(eager=True)

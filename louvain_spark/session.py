@@ -120,7 +120,17 @@ def _warm_session(spark: SparkSession) -> None:
 
     @pandas_udf("long")
     def _wid(s: "pd.Series") -> "pd.Series":
+        # pull numpy into the reused worker processes here: the ANN/IVF
+        # Arrow kernels import it on first use, and with worker reuse the
+        # import is a once-per-worker cost best paid at startup
+        import numpy  # noqa: F401
+
         return s
+
+    def _wcell(left, right):
+        import pyarrow as pa
+
+        return pa.table({"n": [left.num_rows + right.num_rows]})
 
     par = spark.sparkContext.defaultParallelism
     d = tempfile.mkdtemp(prefix="spark-warm-")
@@ -136,6 +146,35 @@ def _warm_session(spark: SparkSession) -> None:
             .parquet(os.path.join(d, "w"))
         )
         spark.read.parquet(os.path.join(d, "w")).count()
+        # cogrouped-Arrow + window + higher-order-function paths: distinct
+        # serializer/eval-type and CodegenFallback class graphs from the
+        # scalar UDF above, each a first-use JVM/worker cost (measured
+        # ~2s landing inside the first ANN stage that needed them)
+        g = spark.range(0, 4 * par, 1, par).withColumn(
+            "g", (F.col("id") % par).cast("int")
+        )
+        (
+            g.groupby("g")
+            .cogroup(g.groupby("g"))
+            .applyInArrow(_wcell, "n long")
+            .count()
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(F.col("id") % 7).orderBy("id")
+        (
+            g.select(
+                "id",
+                F.row_number().over(w).alias("r"),
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(3)),
+                    F.lit(0.0),
+                    lambda a, x: a + x * F.col("id"),
+                ).alias("h"),
+            )
+            .where(F.col("r") >= 0)
+            .count()
+        )
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
