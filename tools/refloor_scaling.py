@@ -69,6 +69,13 @@ def main() -> None:
     # recompute the table from the UNCHANGED scale attempts (per-stage min
     # across attempts, as scaling() reports)
     attempts = prior["attempts"]
+    if not attempts:
+        # set.intersection(*()) would raise a bare TypeError here, masking
+        # the real condition (ADVICE r6 #3)
+        raise SystemExit(
+            "no recorded scale attempts in the prior artifact — run the "
+            "full scaling pair first (bench.py --scaling)"
+        )
     # restrict to stages every recorded attempt actually carries: attempts
     # recorded before a stage existed would otherwise KeyError at table
     # time, AFTER the fresh tiny legs were measured (wasted minutes)
